@@ -1,0 +1,114 @@
+"""LSTM layers as `lax.scan` with hoisted input projections.
+
+The reference uses cuDNN's fused bidirectional LSTM
+(`models/voicefilter/model.py:58-62`).  The TPU-native shape of the same
+computation:
+
+- The input projection ``x_t @ W_ih`` for ALL timesteps is ONE
+  ``[B*T, in] @ [in, 4H]`` matmul outside the scan — for this model that
+  is the ``5064 × 1600`` projection, the single biggest MXU op in the
+  network (≈16.2 M of the ≈19 M params).
+- The scan body then only does the small recurrent matmul
+  ``h @ W_hh [H, 4H]`` plus elementwise gates, keeping the sequential
+  part minimal.
+- Bidirectional = the same scan run forward and reversed, concatenated —
+  two independent scans XLA can overlap.
+
+Gate layout is ``[i, f, g, o]``.  `UniLSTM` exposes its ``(h, c)`` carry
+so streaming inference can thread state across chunks (BASELINE config 5).
+Parameter names (``{fwd,bwd}_w_ih / _w_hh / _b``) are stable so sharding
+rules in `voicesplit_tpu.parallel` can target the wide-variant split of
+the gate dimension across the model mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def lstm_scan(
+    x_proj: jnp.ndarray,  # [B, T, 4H] — precomputed x @ w_ih + b
+    w_hh: jnp.ndarray,  # [H, 4H]
+    h0: jnp.ndarray,  # [B, H]
+    c0: jnp.ndarray,  # [B, H]
+    reverse: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Recurrent scan; returns ``([B, T, H], final (h, c))``."""
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + h @ w_hh  # [B, 4H]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] — scan over time
+    (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1), (h_f, c_f)
+
+
+class _LSTMBase(nn.Module):
+    hidden: int
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _direction_params(self, name: str, features: int):
+        H = self.hidden
+        scale = 1.0 / (H**0.5)
+
+        def uniform_init(key, shape, dtype):
+            # Uniform(-1/sqrt(H), 1/sqrt(H)) — the standard LSTM init.
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        w_ih = self.param(f"{name}_w_ih", uniform_init, (features, 4 * H), self.param_dtype)
+        w_hh = self.param(f"{name}_w_hh", uniform_init, (H, 4 * H), self.param_dtype)
+        b = self.param(f"{name}_b", uniform_init, (4 * H,), self.param_dtype)
+        return w_ih, w_hh, b
+
+    def _run(self, x, w_ih, w_hh, b, h0, c0, reverse):
+        cd = self.compute_dtype
+        x_proj = x.astype(cd) @ w_ih.astype(cd) + b.astype(cd)
+        return lstm_scan(x_proj, w_hh.astype(cd), h0.astype(cd), c0.astype(cd), reverse)
+
+
+class UniLSTM(_LSTMBase):
+    """Unidirectional LSTM; returns ``(outputs [B, T, H], (h, c))``."""
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        carry: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        B, T, F = x.shape
+        w_ih, w_hh, b = self._direction_params("fwd", F)
+        if carry is None:
+            h0 = jnp.zeros((B, self.hidden), self.compute_dtype)
+            c0 = jnp.zeros((B, self.hidden), self.compute_dtype)
+        else:
+            h0, c0 = (carry[0].astype(self.compute_dtype), carry[1].astype(self.compute_dtype))
+        return self._run(x, w_ih, w_hh, b, h0, c0, reverse=False)
+
+
+class BiLSTM(_LSTMBase):
+    """Bidirectional LSTM; returns ``[B, T, 2H]`` (fwd ∥ bwd concat)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, F = x.shape
+        zeros = jnp.zeros((B, self.hidden), self.compute_dtype)
+        wf = self._direction_params("fwd", F)
+        wb = self._direction_params("bwd", F)
+        out_f, _ = self._run(x, *wf, zeros, zeros, reverse=False)
+        out_b, _ = self._run(x, *wb, zeros, zeros, reverse=True)
+        return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+# Public aliases
+LSTM = UniLSTM
+LSTMCellParams = None  # reserved: fused Pallas cell lands in ops/

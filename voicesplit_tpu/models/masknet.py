@@ -1,0 +1,182 @@
+"""The spectrogram-mask network (VoiceFilter / VoiceSplit).
+
+One flax module covers both reference models, which differ only in the
+conv-stack activation (reference `models/voicefilter/model.py:11-90` uses
+ReLU; `models/voicesplit/model.py:9-89` uses Mish — the files are
+otherwise identical):
+
+    spec [B, T, F] ──unsqueeze──► [B, T, F, 1]  (NHWC; time is H, freq is W)
+      conv1 1×7, conv2 7×1, then 5×5 with time-dilation 1/2/4/8/16,
+      64 ch, BatchNorm + act each, "same" zero padding
+      (reference `:17-54`)
+    1×1 conv → 8 ch → reshape [B, T, 8F]        (reference `:73-75`)
+    concat d-vector per frame → [B, T, 8F+256]  (reference `:77-82`)
+    BiLSTM(→400×2) → ReLU → fc1(600) → ReLU → fc2(601) → sigmoid
+                                                 (reference `:58-65, 83-88`)
+
+TPU-first choices: NHWC layout (XLA TPU's native conv layout), bf16
+compute / fp32 params + batch-norm stats, `lax.scan` BiLSTM with hoisted
+input projection, everything static-shaped for one-time compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from voicesplit_tpu.config import Config
+from voicesplit_tpu.models.lstm import BiLSTM, UniLSTM
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * tanh(softplus(x)) (reference `utils/generic_utils.py:376-399`)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+_ACTIVATIONS = {"relu": nn.relu, "mish": mish}
+
+
+class ConvBlock(nn.Module):
+    """ZeroPad → Conv2D → BatchNorm → activation (one reference conv layer)."""
+
+    features: int
+    kernel: Tuple[int, int]  # (time, freq)
+    dilation: Tuple[int, int] = (1, 1)
+    activation: str = "relu"
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kt, kf = self.kernel
+        dt, df = self.dilation
+        # explicit "same" padding, matching the reference's ZeroPad2d sizes
+        pad_t = (kt - 1) * dt // 2
+        pad_f = (kf - 1) * df // 2
+        x = nn.Conv(
+            self.features,
+            kernel_size=self.kernel,
+            kernel_dilation=self.dilation,
+            padding=((pad_t, pad_t), (pad_f, pad_f)),
+            use_bias=True,
+            dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return _ACTIVATIONS[self.activation](x)
+
+
+class MaskNet(nn.Module):
+    """Speaker-conditioned soft-mask network.
+
+    `activation="relu"` ⇒ VoiceFilter, `"mish"` ⇒ VoiceSplit.
+    `num_extra_dilated_blocks` deepens the dilated stack (wide variant,
+    BASELINE config 4); extra blocks continue the dilation doubling.
+    `streaming=True` swaps the BiLSTM for a unidirectional LSTM whose
+    carry is threaded through `__call__` (BASELINE config 5).
+    """
+
+    num_freq: int = 601
+    emb_dim: int = 256
+    lstm_dim: int = 400
+    fc1_dim: int = 600
+    fc2_dim: int = 601
+    conv_channels: int = 64
+    conv_out_channels: int = 8
+    activation: str = "relu"
+    num_extra_dilated_blocks: int = 0
+    streaming: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        spec: jnp.ndarray,  # [B, T, F] normalized magnitude
+        emb: jnp.ndarray,  # [B, emb_dim] speaker d-vector
+        train: bool = False,
+        lstm_carry: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        B, T, F = spec.shape
+        cd = self.compute_dtype
+        x = spec.astype(cd)[..., None]  # NHWC: [B, T, F, 1]
+
+        ch = self.conv_channels
+        blocks: Sequence[Tuple[Tuple[int, int], Tuple[int, int]]] = [
+            ((1, 7), (1, 1)),  # cnn1 (reference `:19-21`)
+            ((7, 1), (1, 1)),  # cnn2
+            ((5, 5), (1, 1)),  # cnn3
+            ((5, 5), (2, 1)),  # cnn4 — receptive field (9, 5)
+            ((5, 5), (4, 1)),  # cnn5 — (17, 5)
+            ((5, 5), (8, 1)),  # cnn6 — (33, 5)
+            ((5, 5), (16, 1)),  # cnn7 — (65, 5)
+        ]
+        for i in range(self.num_extra_dilated_blocks):
+            blocks.append(((5, 5), (32 * 2**i, 1)))  # wide variant extension
+        for i, (kernel, dilation) in enumerate(blocks):
+            x = ConvBlock(
+                ch, kernel, dilation, self.activation,
+                self.param_dtype, cd, name=f"conv{i + 1}",
+            )(x, train)
+        x = ConvBlock(
+            self.conv_out_channels, (1, 1), (1, 1), self.activation,
+            self.param_dtype, cd, name=f"conv{len(blocks) + 1}",
+        )(x, train)
+
+        # [B, T, F, 8] → [B, T, 8F]  (reference flattens channel-major,
+        # `models/voicefilter/model.py:73-75`: [B, 8, T, F] → [B, T, 8*F])
+        x = jnp.swapaxes(x, 2, 3).reshape(B, T, self.conv_out_channels * F)
+
+        # per-frame speaker-embedding concat (reference `:77-82`)
+        emb_t = jnp.broadcast_to(emb.astype(cd)[:, None, :], (B, T, self.emb_dim))
+        x = jnp.concatenate([x, emb_t], axis=-1)  # [B, T, 8F + emb]
+
+        if self.streaming:
+            x, carry = UniLSTM(
+                self.lstm_dim, self.param_dtype, cd, name="lstm"
+            )(x, lstm_carry)
+        else:
+            x = BiLSTM(self.lstm_dim, self.param_dtype, cd, name="lstm")(x)
+            carry = None
+
+        x = nn.relu(x)  # post-LSTM ReLU kept in both reference models (`:84`)
+        x = nn.Dense(self.fc1_dim, dtype=cd, param_dtype=self.param_dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.fc2_dim, dtype=cd, param_dtype=self.param_dtype, name="fc2")(x)
+        mask = jax.nn.sigmoid(x.astype(jnp.float32))  # [B, T, F] in fp32
+
+        if self.streaming:
+            return mask, carry
+        return mask
+
+
+def make_masknet(config: Config, streaming: bool = False) -> MaskNet:
+    """Build the model selected by ``config.model_name``
+
+    ("voicefilter" ⇒ relu, "voicesplit" ⇒ mish — reference `train.py:26-31`).
+    """
+    act = "relu" if config.model_name == "voicefilter" else "mish"
+    dtype = jnp.dtype(config.train_config.compute_dtype)
+    m = config.model
+    return MaskNet(
+        num_freq=config.audio.active.num_freq,
+        emb_dim=m.emb_dim,
+        lstm_dim=m.lstm_dim,
+        fc1_dim=m.fc1_dim,
+        fc2_dim=m.fc2_dim,
+        conv_channels=m.conv_channels,
+        conv_out_channels=m.conv_out_channels,
+        activation=act,
+        num_extra_dilated_blocks=m.num_extra_dilated_blocks,
+        streaming=streaming,
+        compute_dtype=dtype,
+    )

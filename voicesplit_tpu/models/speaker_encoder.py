@@ -1,0 +1,87 @@
+"""GE2E d-vector speaker encoder.
+
+The reference extracts speaker embeddings offline with a pretrained GE2E
+encoder (notebook `GE2E-Seungwonpark-ExtractSpeakerEmbedding-adaptado-
+para-openvoicefilter.py:54-85`): a 3-layer LSTM(40 mels → 768) over
+sliding windows of 80 mel frames (stride 40), last-frame output projected
+to 256-d, L2-normalized per window, mean-pooled over windows.
+
+Same topology here as a flax module, batched and jit-compiled; windows
+are a static-shape gather so a whole utterance embeds in one device call.
+Weights from the reference's ``embedder.pt`` can be imported via
+`load_torch_state_dict` (gate/layout conversion included) when a
+checkpoint file is available.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicesplit_tpu.models.lstm import UniLSTM
+
+
+class SpeakerEncoder(nn.Module):
+    """d-vector extractor: mel ``[B, n_mels, T]`` → embedding ``[B, emb_dim]``."""
+
+    num_mels: int = 40
+    lstm_hidden: int = 768
+    lstm_layers: int = 3
+    emb_dim: int = 256
+    window: int = 80
+    stride: int = 40
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        B, M, T = mel.shape
+        if T < self.window:
+            raise ValueError(f"need at least {self.window} mel frames, got {T}")
+        n_win = (T - self.window) // self.stride + 1
+        starts = np.arange(n_win) * self.stride
+        idx = starts[:, None] + np.arange(self.window)[None, :]  # [n_win, W] static
+        # [B, M, T] → [B, n_win, W, M] → fold windows into the batch axis
+        wins = jnp.transpose(mel[:, :, idx], (0, 2, 3, 1))
+        x = wins.reshape(B * n_win, self.window, M).astype(self.compute_dtype)
+        for i in range(self.lstm_layers):
+            x, _ = UniLSTM(
+                self.lstm_hidden, compute_dtype=self.compute_dtype, name=f"lstm{i}"
+            )(x)
+        x = x[:, -1, :]  # last frame only
+        x = nn.Dense(self.emb_dim, dtype=self.compute_dtype, name="proj")(x)
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x.reshape(B, n_win, self.emb_dim).mean(axis=1)
+
+
+def load_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
+    """Convert a torch GE2E ``embedder.pt`` state_dict to our param pytree.
+
+    torch LSTM stores per-layer ``weight_ih_l{k} [4H, in]``,
+    ``weight_hh_l{k} [4H, H]``, ``bias_ih_l{k}`` + ``bias_hh_l{k}`` with
+    gate order [i, f, g, o] (same as ours); we transpose to ``[in, 4H]``
+    and sum the two biases.
+    """
+    params: Dict = {}
+    nl = 0
+    while f"lstm.weight_ih_l{nl}" in state_dict:
+        nl += 1
+    for k in range(nl):
+        w_ih = np.asarray(state_dict[f"lstm.weight_ih_l{k}"]).T
+        w_hh = np.asarray(state_dict[f"lstm.weight_hh_l{k}"]).T
+        b = np.asarray(state_dict[f"lstm.bias_ih_l{k}"]) + np.asarray(
+            state_dict[f"lstm.bias_hh_l{k}"]
+        )
+        params[f"lstm{k}"] = {
+            "fwd_w_ih": jnp.asarray(w_ih),
+            "fwd_w_hh": jnp.asarray(w_hh),
+            "fwd_b": jnp.asarray(b),
+        }
+    params["proj"] = {
+        "kernel": jnp.asarray(np.asarray(state_dict["proj.linear_layer.weight"]).T),
+        "bias": jnp.asarray(np.asarray(state_dict["proj.linear_layer.bias"])),
+    }
+    return {"params": params}
