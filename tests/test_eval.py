@@ -1,0 +1,121 @@
+"""Eval tests: SDR metric properties, validation loop, checkpoint sweep."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from voicesplit_tpu.config import Config
+from voicesplit_tpu.data import BatchIterator, SeparationDataset, build_synthetic_dataset, discover_samples
+from voicesplit_tpu.dsp.processor import AudioProcessor
+from voicesplit_tpu.eval import bss_eval_sdr, si_snr_improvement, sweep_checkpoints, validate
+from voicesplit_tpu.eval.metrics import sdr_improvement
+from voicesplit_tpu.models.masknet import make_masknet
+from voicesplit_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)
+
+SR = 16000
+
+
+def _sig(seed, n=16000):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / SR
+    return (np.sin(2 * np.pi * rng.uniform(100, 400) * t) + 0.05 * rng.standard_normal(n)).astype(np.float64)
+
+
+def test_sdr_perfect():
+    s = _sig(0)
+    assert bss_eval_sdr(s, s) > 80
+
+
+def test_sdr_filtered_copy_is_high():
+    """SDR projects onto 512-tap filters of the reference — a mildly
+    filtered copy still scores very high (the point of bss_eval)."""
+    import scipy.signal
+
+    s = _sig(1)
+    filtered = scipy.signal.lfilter([0.8, 0.15, -0.05], [1], s)
+    assert bss_eval_sdr(s, filtered) > 40
+
+
+def test_sdr_degrades_with_noise():
+    s = _sig(2)
+    n = np.random.default_rng(3).standard_normal(len(s))
+    vals = [bss_eval_sdr(s, s + a * n) for a in (0.01, 0.1, 0.5)]
+    assert vals[0] > vals[1] > vals[2]
+    # ~known value: noise at -20 dB → SDR ≈ 20 dB (orthogonal-ish noise)
+    power_ratio = 10 * np.log10(np.sum(s**2) / np.sum((0.1 * n) ** 2))
+    assert abs(vals[1] - power_ratio) < 1.5
+
+
+def test_si_snri_zero_for_mixture_estimate():
+    s, i = _sig(4), _sig(5)
+    mix = s + i
+    assert abs(si_snr_improvement(mix, s, mix)) < 1e-6
+    assert si_snr_improvement(s, s, mix) > 50
+
+
+def test_sdri():
+    s, i = _sig(6), _sig(7)
+    mix = s + i
+    assert sdr_improvement(s, s, mix) > 50
+
+
+# ---------------------------------------------------------------------------
+# validation + sweep over a tiny run
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    c = Config()
+    c.model_name = "voicefilter"
+    c.loss.loss_name = "power_law_compression"
+    c.audio.audio_len = 0.6
+    c.model.lstm_dim = 16
+    c.model.fc1_dim = 24
+    c.model.conv_channels = 4
+    c.model.conv_out_channels = 2
+    c.train_config.batch_size = 2
+    c.train_config.compute_dtype = "float32"
+
+    data_dir = str(tmp_path_factory.mktemp("data"))
+    build_synthetic_dataset(data_dir, 6, SR, c.audio.audio_len, seed=1)
+    ap = AudioProcessor(c.audio)
+    ds = SeparationDataset(discover_samples(data_dir, c.dataset.format), ap, c.audio.audio_len)
+    loader = BatchIterator(ds, 2, shuffle=False)
+
+    model = make_masknet(c)
+    tx = make_optimizer(c)
+    T, F = ds.n_frames, 601
+    state = create_train_state(c, model, jax.random.PRNGKey(0), (2, T, F), tx)
+    train_step = make_train_step(c, model, ap, tx, donate=False)
+    eval_step = make_eval_step(c, model, ap)
+
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    for _ in range(2):
+        state, _ = train_step(state, next(loader))
+        save_checkpoint(ckpt_dir, state, c)
+    return c, ap, state, eval_step, loader, ckpt_dir
+
+
+def test_validate(tiny_run):
+    c, ap, state, eval_step, loader, _ = tiny_run
+    m = validate(eval_step, state.params, state.batch_stats, loader, compute_sdr=True)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["si_snr"])
+    assert "sdr" in m and "si_snri" in m
+
+
+def test_sweep(tiny_run, tmp_path):
+    c, ap, state, eval_step, loader, ckpt_dir = tiny_run
+    out = sweep_checkpoints(ckpt_dir, state, eval_step, loader, fast=True, out_dir=str(tmp_path))
+    assert len(out["results"]) == 2
+    assert (tmp_path / "fast_best_checkpoint.msgpack").exists()
+    assert (tmp_path / "fast_sdr_curve.npy").exists()
+    curve = np.load(tmp_path / "fast_sdr_curve.npy")
+    assert curve.shape == (2, 2)

@@ -1,0 +1,169 @@
+"""Training tests: jitted steps, loss decrease, checkpoint round-trips,
+partial warm-start, explosion guard plumbing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voicesplit_tpu.config import Config
+from voicesplit_tpu.data import BatchIterator, SeparationDataset, build_synthetic_dataset, discover_samples
+from voicesplit_tpu.data.dataset import IteratorState
+from voicesplit_tpu.dsp.processor import AudioProcessor
+from voicesplit_tpu.models.masknet import make_masknet
+from voicesplit_tpu.train import (
+    TrainState,
+    create_train_state,
+    latest_checkpoint,
+    load_checkpoint,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)
+from voicesplit_tpu.train.checkpoint import (
+    config_from_checkpoint,
+    partial_restore,
+    restore_train_state,
+)
+
+SR = 16000
+
+
+def _small_config(loss="power_law_compression", audio_len=0.6) -> Config:
+    """Tiny model/clip so CPU tests stay fast; same topology."""
+    c = Config()
+    c.model_name = "voicefilter"
+    c.loss.loss_name = loss
+    c.audio.audio_len = audio_len
+    c.model.lstm_dim = 32
+    c.model.fc1_dim = 48
+    c.model.conv_channels = 8
+    c.model.conv_out_channels = 2
+    c.train_config.batch_size = 2
+    c.train_config.learning_rate = 1e-3
+    c.train_config.compute_dtype = "float32"
+    return c
+
+
+def _batch(c: Config, ap: AudioProcessor, seed=0):
+    rng = np.random.default_rng(seed)
+    B = c.train_config.batch_size
+    L = int(SR * c.audio.audio_len)
+    t = np.arange(L) / SR
+    target = 0.1 * np.sin(2 * np.pi * 220 * t)[None, :] * np.ones((B, 1))
+    intf = 0.1 * np.sin(2 * np.pi * 600 * t)[None, :] * np.ones((B, 1))
+    return {
+        "emb": rng.standard_normal((B, 256)).astype(np.float32),
+        "target_wav": target.astype(np.float32),
+        "mixed_wav": (target + intf).astype(np.float32),
+        "wav_len": np.full((B,), L, np.int32),
+        "seq_len": np.full((B,), 1 + L // ap.hop_length, np.int32),
+    }
+
+
+@pytest.fixture(scope="module", params=["power_law_compression", "si_snr"])
+def setup(request):
+    c = _small_config(loss=request.param)
+    ap = AudioProcessor(c.audio)
+    model = make_masknet(c)
+    tx = make_optimizer(c)
+    L = int(SR * c.audio.audio_len)
+    T = ap.frames_for(L)
+    state = create_train_state(c, model, jax.random.PRNGKey(0), (2, T, c.audio.active.num_freq), tx)
+    step_fn = make_train_step(c, model, ap, tx, donate=False)
+    return c, ap, model, state, step_fn
+
+
+def test_train_step_runs_and_loss_decreases(setup):
+    c, ap, model, state, step_fn = setup
+    batch = _batch(c, ap)
+    losses = []
+    for _ in range(12):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert not bool(jax.device_get(metrics)["loss_exploded"])
+    assert int(jax.device_get(state.step)) == 12
+
+
+def test_eval_step(setup):
+    c, ap, model, state, step_fn = setup
+    eval_fn = make_eval_step(c, model, ap)
+    batch = _batch(c, ap)
+    out = jax.device_get(eval_fn(state.params, state.batch_stats, batch))
+    assert np.isfinite(out["loss"])
+    assert out["si_snr"].shape == (2,)
+    assert out["mask"].shape == out["mixed_spec"].shape
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    c, ap, model, state, step_fn = setup
+    batch = _batch(c, ap)
+    state, _ = step_fn(state, batch)
+    data_state = IteratorState(epoch=1, position=3, seed=42)
+    path = save_checkpoint(str(tmp_path), state, c, data_state)
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    payload = load_checkpoint(path)
+    assert payload["step"] == int(jax.device_get(state.step))
+    restored, ds = restore_train_state(payload, state)
+    assert ds.epoch == 1 and ds.position == 3
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config recoverable from checkpoint (reference test.py:87-89)
+    assert config_from_checkpoint(path).loss.loss_name == c.loss.loss_name
+
+
+def test_checkpoint_keep_prunes(tmp_path, setup):
+    c, ap, model, state, step_fn = setup
+    batch = _batch(c, ap)
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+        save_checkpoint(str(tmp_path), state, c, keep=2)
+    from voicesplit_tpu.train.checkpoint import list_checkpoints
+
+    assert len(list_checkpoints(str(tmp_path))) == 2
+
+
+def test_partial_restore_warm_start(setup):
+    """Warm-start semantics: matching shapes copied, mismatches kept fresh,
+    reinit_layers skipped (reference set_init_dict)."""
+    c, ap, model, state, step_fn = setup
+    # a 'wider' model: different lstm → shape mismatch there, conv matches
+    c2 = _small_config(loss=c.loss.loss_name)
+    c2.model.lstm_dim = 64
+    model2 = make_masknet(c2)
+    L = int(SR * c2.audio.audio_len)
+    T = ap.frames_for(L)
+    state2 = create_train_state(c2, model2, jax.random.PRNGKey(1), (2, T, 601), make_optimizer(c2))
+
+    loaded = jax.device_get(
+        __import__("flax").serialization.to_state_dict(state.params)
+    )
+    merged = partial_restore(state2.params, loaded)
+    # conv params copied from checkpoint
+    a = jax.tree.leaves(merged["conv1"])[0]
+    b = jax.tree.leaves(state.params["conv1"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # lstm kept at fresh init (mismatched width)
+    a = np.asarray(merged["lstm"]["fwd_w_hh"])
+    assert a.shape == (64, 256)
+    # reinit_layers forces fresh even on matching shapes
+    merged2 = partial_restore(state2.params, loaded, reinit_layers=["conv1"])
+    a2 = jax.tree.leaves(merged2["conv1"])[0]
+    fresh = jax.tree.leaves(state2.params["conv1"])[0]
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(fresh))
+
+
+def test_explosion_guard_flags_nan(setup):
+    c, ap, model, state, step_fn = setup
+    batch = _batch(c, ap)
+    batch["mixed_wav"] = np.full_like(batch["mixed_wav"], np.nan)
+    _, metrics = step_fn(state, batch)
+    assert bool(jax.device_get(metrics)["loss_exploded"])

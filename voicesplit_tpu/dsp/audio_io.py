@@ -45,6 +45,18 @@ def save_wav(wav: np.ndarray, path: str, sample_rate: int) -> None:
     scipy.io.wavfile.write(path, sample_rate, wav_norm.astype(np.int16))
 
 
+def save_wav_float(wav: np.ndarray, path: str, sample_rate: int) -> None:
+    """Write raw float32 samples without renormalizing.
+
+    Dataset triplets must preserve the mixer's relative scaling between
+    mixed/target (the reference writes these with
+    ``librosa.output.write_wav``, which also keeps floats raw —
+    `utils/generic_utils.py:335-337`); `save_wav`'s peak normalization is
+    only for human-listening outputs.
+    """
+    scipy.io.wavfile.write(path, sample_rate, np.asarray(wav, dtype=np.float32))
+
+
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resampling (scipy)."""
     if orig_sr == target_sr:

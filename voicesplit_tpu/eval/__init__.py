@@ -1,0 +1,5 @@
+"""Evaluation: SDR/SI-SNR metrics, validation loop, checkpoint sweeps."""
+
+from voicesplit_tpu.eval.metrics import bss_eval_sdr, si_snr_improvement
+from voicesplit_tpu.eval.validation import validate
+from voicesplit_tpu.eval.sweep import sweep_checkpoints

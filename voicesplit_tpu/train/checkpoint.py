@@ -1,0 +1,144 @@
+"""Checkpointing: msgpack pytrees with step + config + data-iterator state.
+
+The reference saves ``{'model', 'optimizer', 'step', 'config_str'}`` every
+`checkpoint_interval` steps (`train.py:125-132`) and supports partial
+warm-start restores that filter by name/shape and honor `reinit_layers`
+(`set_init_dict`, `utils/generic_utils.py:647-679`).  Same capabilities
+here over flax msgpack serialization, plus the data-iterator state so a
+preempted run resumes mid-epoch deterministically (SURVEY.md §5's
+failure-recovery gap).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from glob import glob
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+from voicesplit_tpu.config import Config, load_config_from_str
+from voicesplit_tpu.data.dataset import IteratorState
+from voicesplit_tpu.train.state import TrainState
+
+CKPT_PATTERN = "checkpoint_%d.msgpack"
+_CKPT_RE = re.compile(r"checkpoint_(\d+)\.msgpack$")
+
+
+def save_checkpoint(
+    log_dir: str,
+    state: TrainState,
+    config: Config,
+    data_state: Optional[IteratorState] = None,
+    keep: Optional[int] = None,
+) -> str:
+    """Write ``checkpoint_<step>.msgpack``; optionally prune old ones."""
+    os.makedirs(log_dir, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    to_sd = flax.serialization.to_state_dict  # tuples/namedtuples → dicts
+    payload = {
+        "model": to_sd(jax.device_get(state.params)),
+        "batch_stats": to_sd(jax.device_get(state.batch_stats)),
+        "optimizer": to_sd(jax.device_get(state.opt_state)),
+        "step": step,
+        "config_str": config.to_json(),
+        "data_state": (data_state or IteratorState()).to_dict(),
+    }
+    path = os.path.join(log_dir, CKPT_PATTERN % step)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)  # atomic — a preempted host never sees a torn file
+    if keep:
+        for old in list_checkpoints(log_dir)[:-keep]:
+            os.remove(old)
+    return path
+
+
+def list_checkpoints(log_dir: str) -> List[str]:
+    """All checkpoints in `log_dir`, sorted by step."""
+    hits = glob(os.path.join(log_dir, "checkpoint_*.msgpack"))
+    with_steps = []
+    for h in hits:
+        m = _CKPT_RE.search(h)
+        if m:
+            with_steps.append((int(m.group(1)), h))
+    return [h for _, h in sorted(with_steps)]
+
+
+def latest_checkpoint(log_dir: str) -> Optional[str]:
+    ckpts = list_checkpoints(log_dir)
+    return ckpts[-1] if ckpts else None
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Raw payload dict: model/batch_stats/optimizer/step/config_str/data_state."""
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def config_from_checkpoint(path: str) -> Config:
+    """Recover the embedded config (reference `test.py:87-89`)."""
+    return load_config_from_str(load_checkpoint(path)["config_str"])
+
+
+def restore_train_state(
+    payload: Dict[str, Any], template: TrainState, partial: bool = False,
+    reinit_layers: Optional[List[str]] = None,
+) -> Tuple[TrainState, IteratorState]:
+    """Rebuild a `TrainState` from a payload.
+
+    `partial=True` applies the reference's warm-start semantics: keep the
+    template's fresh init and copy over only leaves that exist with
+    matching shapes, skipping any whose path matches `reinit_layers`
+    (reference `set_init_dict`, `utils/generic_utils.py:647-679`); the
+    optimizer state is reset in that case.
+    """
+    if partial:
+        params = partial_restore(template.params, payload["model"], reinit_layers)
+        return (
+            TrainState(
+                step=template.step,
+                params=params,
+                batch_stats=template.batch_stats,
+                opt_state=template.opt_state,
+            ),
+            IteratorState(),
+        )
+    params = flax.serialization.from_state_dict(template.params, payload["model"])
+    batch_stats = flax.serialization.from_state_dict(
+        template.batch_stats, payload["batch_stats"]
+    )
+    opt_state = flax.serialization.from_state_dict(template.opt_state, payload["optimizer"])
+    state = TrainState(
+        step=np.int32(payload["step"]),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+    data_state = IteratorState.from_dict(
+        payload.get("data_state", IteratorState().to_dict())
+    )
+    return state, data_state
+
+
+def partial_restore(init_params, loaded, reinit_layers: Optional[List[str]] = None):
+    """Name+shape-filtered merge of `loaded` into `init_params`."""
+    reinit_layers = reinit_layers or []
+    flat_init = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(init_params), sep="/"
+    )
+    flat_loaded = flax.traverse_util.flatten_dict(loaded, sep="/")
+    merged = {}
+    for k, v in flat_init.items():
+        take = (
+            k in flat_loaded
+            and tuple(np.shape(flat_loaded[k])) == tuple(np.shape(v))
+            and not any(pat in k for pat in reinit_layers)
+        )
+        merged[k] = np.asarray(flat_loaded[k]) if take else v
+    merged_tree = flax.traverse_util.unflatten_dict(merged, sep="/")
+    return flax.serialization.from_state_dict(init_params, merged_tree)

@@ -1,0 +1,67 @@
+"""Train state and optimizer construction.
+
+The reference supports Adam only (`train.py:33-37`, raising otherwise);
+we keep that contract (plus optional gradient clipping, a TPU-native
+addition) via optax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from voicesplit_tpu.config import Config
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Pytree of everything the optimizer step mutates."""
+
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    tc = config.train_config
+    if tc.optimizer.lower() != "adam":
+        raise ValueError(
+            f"unsupported optimizer {tc.optimizer!r} (the reference supports adam only)"
+        )
+    tx = optax.adam(tc.learning_rate)
+    if tc.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), tx)
+    return tx
+
+
+def create_train_state(
+    config: Config,
+    model,
+    rng: jax.Array,
+    spec_shape,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    """Initialize params/batch-stats/optimizer for a given input shape."""
+    B, T, F = spec_shape
+    variables = model.init(
+        rng,
+        jnp.zeros((B, T, F), jnp.float32),
+        jnp.zeros((B, config.model.emb_dim), jnp.float32),
+    )
+    tx = tx or make_optimizer(config)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(jnp.size(p)) for p in jax.tree.leaves(params))

@@ -1,0 +1,146 @@
+"""Jit-compiled train / eval steps.
+
+The whole step — STFT of the raw waveform batch, mask-net forward,
+masking, differentiable iSTFT, loss, backward, Adam update — is ONE
+XLA program (the reference splits this across 14 CPU dataloader workers
+computing STFTs + a GPU forward + host-side guards; `train.py:84-135`).
+Feeding waveforms and doing DSP on-device keeps host→device traffic
+minimal and lets XLA fuse the normalize/mask/denormalize elementwise
+work into the surrounding matmuls.
+
+Loss paths (selected statically from config, reference `train.py:74-79,
+97-108`):
+
+- ``power_law_compression`` — spectral loss between masked and target
+  normalized spectrograms.
+- ``si_snr`` — both specs are inverted with the *mixture phase* via the
+  differentiable iSTFT, compared in the time domain with SI-SNR(+PIT,
+  C=1), masked by true waveform length.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from voicesplit_tpu.config import Config
+from voicesplit_tpu.dsp.processor import AudioProcessor
+from voicesplit_tpu.losses import power_law_compressed_loss, si_snr, si_snr_with_pit
+from voicesplit_tpu.train.state import TrainState
+
+
+def _loss_from_outputs(
+    config: Config,
+    ap: AudioProcessor,
+    output_spec: jnp.ndarray,  # [B, T, F] masked (normalized) spec
+    target_spec: jnp.ndarray,  # [B, T, F]
+    mixed_phase: jnp.ndarray,  # [B, T, F]
+    wav_len: jnp.ndarray,  # [B] true sample counts
+) -> jnp.ndarray:
+    if config.loss.loss_name == "si_snr":
+        est_wav = ap.spec2wav_batch(output_spec, mixed_phase)
+        tgt_wav = ap.spec2wav_batch(target_spec, mixed_phase)
+        return si_snr_with_pit(est_wav[:, None, :], tgt_wav[:, None, :], wav_len)
+    if config.loss.loss_name == "power_law_compression":
+        return power_law_compressed_loss(
+            output_spec, target_spec, config.loss.power, config.loss.complex_loss_ratio
+        )
+    raise ValueError(f"unknown loss {config.loss.loss_name!r}")
+
+
+def make_train_step(
+    config: Config,
+    model,
+    ap: AudioProcessor,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted ``(state, batch) -> (state, metrics)`` step.
+
+    `batch` carries raw waveforms: ``mixed_wav [B, L]``,
+    ``target_wav [B, L]``, ``emb [B, E]``, ``wav_len [B]``.
+    Metrics include ``loss`` and ``grad_norm`` (both fp32 scalars); the
+    NaN/explosion guard is evaluated on-device and surfaced as
+    ``loss_exploded`` so the host loop can break like the reference's
+    guard (`train.py:115-117`) without an extra transfer.
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        mixed_spec, mixed_phase = ap.wav2spec_batch(batch["mixed_wav"])
+        target_spec, _ = ap.wav2spec_batch(batch["target_wav"])
+        mask, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mixed_spec,
+            batch["emb"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        output = mask * mixed_spec
+        loss = _loss_from_outputs(
+            config, ap, output, target_spec, mixed_phase, batch["wav_len"]
+        )
+        return loss, updates["batch_stats"]
+
+    def train_step(state: TrainState, batch):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = {
+            "loss": loss.astype(jnp.float32),
+            "grad_norm": grad_norm.astype(jnp.float32),
+            "loss_exploded": jnp.logical_or(
+                jnp.logical_not(jnp.isfinite(loss)), loss > 1e8
+            ),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(config: Config, model, ap: AudioProcessor):
+    """Jitted eval: ``(params, batch_stats, batch) -> metrics + artifacts``.
+
+    Computes the configured loss plus SI-SNR of the mixed-phase-inverted
+    estimate (the reference's fast eval, `utils/generic_utils.py:531-558`)
+    and returns the mask/specs for observability images.
+    """
+
+    def eval_step(params, batch_stats, batch):
+        mixed_spec, mixed_phase = ap.wav2spec_batch(batch["mixed_wav"])
+        target_spec, _ = ap.wav2spec_batch(batch["target_wav"])
+        mask = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mixed_spec,
+            batch["emb"],
+            train=False,
+        )
+        output = mask * mixed_spec
+        loss = _loss_from_outputs(
+            config, ap, output, target_spec, mixed_phase, batch["wav_len"]
+        )
+        est_wav = ap.spec2wav_batch(output, mixed_phase)
+        snr = si_snr(est_wav[..., : batch["target_wav"].shape[-1]], batch["target_wav"])
+        return {
+            "loss": loss.astype(jnp.float32),
+            "si_snr": snr.astype(jnp.float32),  # [B]
+            "mask": mask,
+            "est_spec": output,
+            "mixed_spec": mixed_spec,
+            "target_spec": target_spec,
+            "est_wav": est_wav,
+            "mixed_phase": mixed_phase,
+        }
+
+    return jax.jit(eval_step)
