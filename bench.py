@@ -63,12 +63,15 @@ def run_bench(batch_size: int = 16, n_warmup: int = 3, n_steps: int = 20):
 
     for _ in range(n_warmup):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # device_get of the loss VALUE forces the full chain to finish; plain
+    # block_until_ready proved unreliable on the tunneled axon platform
+    # (returned in <1 ms for ~200 ms steps).
+    float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     n_chips = len(jax.devices())

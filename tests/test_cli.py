@@ -1,0 +1,124 @@
+"""End-to-end CLI tests: train → test → sweep → separate → convert,
+driven through the argparse entry points (in-process, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from voicesplit_tpu.config import Config
+from voicesplit_tpu.data import build_synthetic_dataset
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    c = Config()
+    c.model_name = "voicefilter"
+    c.loss.loss_name = "power_law_compression"
+    c.audio.audio_len = 0.6
+    c.model.lstm_dim = 16
+    c.model.fc1_dim = 24
+    c.model.conv_channels = 4
+    c.model.conv_out_channels = 2
+    c.train_config.batch_size = 2
+    c.train_config.compute_dtype = "float32"
+    c.train_config.summary_interval = 2
+    c.train_config.checkpoint_interval = 3
+    c.train_config.epochs = 50
+    c.dataset.train_dir = str(root / "train")
+    c.dataset.test_dir = str(root / "test")
+    c.train_config.logs_path = str(root / "logs")
+    build_synthetic_dataset(c.dataset.train_dir, 6, SR, c.audio.audio_len, seed=0)
+    build_synthetic_dataset(c.dataset.test_dir, 3, SR, c.audio.audio_len, seed=9)
+    cfg_path = str(root / "config.json")
+    with open(cfg_path, "w") as f:
+        f.write(c.to_json())
+    return root, c, cfg_path
+
+
+def test_cli_train(workspace, capsys):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.train import main
+
+    main(["-c", cfg_path, "--max_steps", "4"])
+    out = capsys.readouterr().out
+    assert "done:" in out
+    assert os.path.exists(os.path.join(c.train_config.logs_path, "checkpoint_3.msgpack"))
+    assert os.path.exists(os.path.join(c.train_config.logs_path, "config.json"))
+
+
+def test_cli_test(workspace, capsys):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.test import main
+
+    ckpt = os.path.join(c.train_config.logs_path, "checkpoint_3.msgpack")
+    main(["--checkpoint_path", ckpt, "--no_sdr"])  # config from checkpoint
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(metrics["loss"]) and "si_snr" in metrics
+
+
+def test_cli_sweep(workspace, capsys):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.sweep import main
+
+    main(["--checkpoints_path", c.train_config.logs_path, "--fast", "--batch_size", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_checkpoints"] >= 1
+    assert os.path.exists(os.path.join(c.train_config.logs_path, "fast_best_checkpoint.msgpack"))
+
+
+def test_cli_separate(workspace, capsys):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.separate import main
+
+    ckpt = os.path.join(c.train_config.logs_path, "checkpoint_3.msgpack")
+    mixed = sorted((root / "test").glob("*-mixed.wav"))[0]
+    emb = sorted((root / "test").glob("*-emb.npy"))[0]
+    out_path = str(root / "separated.wav")
+    main([
+        "--checkpoint_path", ckpt, "--mixed_wav", str(mixed),
+        "--emb", str(emb), "--output", out_path,
+    ])
+    assert os.path.exists(out_path)
+    from voicesplit_tpu.dsp.audio_io import load_wav
+
+    wav = load_wav(out_path, SR)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_cli_convert(workspace, capsys, tmp_path):
+    root, c, cfg_path = workspace
+    import numpy as np
+
+    from voicesplit_tpu.cli.convert import main
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+
+    c2 = Config()
+    c2.audio.voicefilter.griffin_lim_iters = 2
+    ap = AudioProcessor(c2.audio)
+    spec_dir = tmp_path / "specs"
+    spec_dir.mkdir()
+    wav = 0.01 * np.sin(2 * np.pi * 220 * np.arange(SR) / SR).astype(np.float32)
+    spec, _ = ap.wav2spec(wav)
+    np.save(spec_dir / "a.npy", spec)
+    cfg2 = tmp_path / "c.json"
+    cfg2.write_text(c2.to_json())
+    out_dir = tmp_path / "wavs"
+    main(["--input_dir", str(spec_dir), "--output_dir", str(out_dir), "-c", str(cfg2)])
+    assert (out_dir / "a.wav").exists()
+
+
+def test_cli_extract_embeddings(workspace, capsys):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.extract_embeddings import main
+
+    # smoke mode (random-init encoder) over the test dir's ref wavs
+    main(["--data_dir", c.dataset.test_dir, "--out_suffix=-emb2.npy"])
+    out = capsys.readouterr().out
+    assert "wrote" in out
+    embs = sorted((root / "test").glob("*-emb2.npy"))
+    assert embs and np.load(embs[0]).shape == (256,)

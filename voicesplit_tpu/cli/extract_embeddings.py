@@ -1,0 +1,78 @@
+"""Speaker-embedding extraction CLI.
+
+Capability of the reference's offline notebook
+(`notebooks/GE2E-...-openvoicefilter.py:129-152`): run the GE2E encoder
+over every ``*-ref_emb.wav`` in a directory and write ``*-emb.npy``
+d-vectors; too-short references get the scalar-``[0]`` sentinel the
+dataset layer filters out.
+
+    python -m voicesplit_tpu.cli.extract_embeddings --data_dir DIR \
+        [--encoder_checkpoint embedder.pt] [-c config.json]
+
+Without a checkpoint the encoder runs with random init (useful for
+pipeline smoke tests; pass the reference's pretrained ``embedder.pt``
+for real d-vectors — its torch state_dict is converted automatically).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Extract GE2E d-vectors")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("-c", "--config_path", type=str, default=None)
+    parser.add_argument("--encoder_checkpoint", type=str, default=None,
+                        help="torch GE2E embedder.pt state_dict")
+    parser.add_argument("--glob_wav", type=str, default="*-ref_emb.wav")
+    parser.add_argument("--out_suffix", type=str, default="-emb.npy")
+    args = parser.parse_args(argv)
+
+    from voicesplit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import numpy as np
+
+    from voicesplit_tpu.config import Config, load_config
+    from voicesplit_tpu.dsp.processor import make_audio_processor
+    from voicesplit_tpu.models.speaker_encoder import SpeakerEncoder, load_torch_state_dict
+
+    config = load_config(args.config_path) if args.config_path else Config()
+    ap = make_audio_processor(config)
+    encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
+    if args.encoder_checkpoint:
+        import torch
+
+        sd = torch.load(args.encoder_checkpoint, map_location="cpu")
+        sd = {k: v.numpy() for k, v in sd.items()}
+        variables = load_torch_state_dict(sd)
+    else:
+        print(" > No encoder checkpoint given — using random init (smoke mode)")
+        mel0 = np.zeros((1, config.audio.active.num_mels, 80), np.float32)
+        variables = encoder.init(jax.random.PRNGKey(0), mel0)
+
+    apply = jax.jit(lambda mel: encoder.apply(variables, mel))
+    files = sorted(glob(os.path.join(args.data_dir, args.glob_wav)))
+    n_ok = n_short = 0
+    for path in files:
+        out_path = path.replace(args.glob_wav.replace("*", ""), "") + args.out_suffix
+        wav = ap.load_wav(path)
+        mel = ap.get_mel(wav)  # [n_mels, T]
+        if mel.shape[1] < encoder.window:
+            # sentinel for too-short references (reference `:147-152`)
+            np.save(out_path, np.array([0], np.float32))
+            n_short += 1
+            continue
+        emb = np.asarray(apply(mel[None]))[0]
+        np.save(out_path, emb.astype(np.float32))
+        n_ok += 1
+    print(f"wrote {n_ok} embeddings ({n_short} sentinels) in {args.data_dir}")
+
+
+if __name__ == "__main__":
+    main()

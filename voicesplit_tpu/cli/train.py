@@ -1,0 +1,54 @@
+"""Training CLI (reference `train.py:140-163`).
+
+    python -m voicesplit_tpu.cli.train -c config.json \
+        [--checkpoint_path ckpt.msgpack] [--logs_path dir] \
+        [--model_parallel N] [--max_steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a voice-separation model")
+    parser.add_argument("-c", "--config_path", type=str, required=True)
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="checkpoint to resume (full) or warm-start (partial)")
+    parser.add_argument("--logs_path", type=str, default=None)
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="model-axis size for the wide variant")
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--eval_sdr", action="store_true",
+                        help="compute host-side SDR during eval (slower)")
+    args = parser.parse_args(argv)
+
+    from voicesplit_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from voicesplit_tpu.config import load_config
+    from voicesplit_tpu.train.trainer import Trainer
+
+    config = load_config(args.config_path)
+    if args.logs_path:
+        config.train_config.logs_path = args.logs_path
+    os.makedirs(config.train_config.logs_path, exist_ok=True)
+
+    # keep a copy of the config next to the checkpoints (reference
+    # copy_config_file behavior, utils/generic_utils.py:583-594)
+    with open(os.path.join(config.train_config.logs_path, "config.json"), "w") as f:
+        f.write(config.to_json())
+
+    trainer = Trainer(
+        config,
+        checkpoint_path=args.checkpoint_path,
+        model_parallel=args.model_parallel,
+    )
+    result = trainer.fit(max_steps=args.max_steps, compute_sdr_in_eval=args.eval_sdr)
+    print(f"done: {result}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,11 +17,16 @@ otherwise identical):
 TPU-first choices: NHWC layout (XLA TPU's native conv layout), bf16
 compute / fp32 params + batch-norm stats, `lax.scan` BiLSTM with hoisted
 input projection, everything static-shaped for one-time compilation.
+
+The network is split into `conv_features` and `mask_head` methods so the
+streaming engine can run the (stateless, non-causal, receptive field
+±32 frames) conv stack on overlapping context windows while threading
+the unidirectional-LSTM carry only over emitted frames.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -37,6 +42,11 @@ def mish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 _ACTIVATIONS = {"relu": nn.relu, "mish": mish}
+
+# Half of the conv stack's time receptive field (65 frames, reference
+# `models/voicefilter/model.py:17-54`): context needed on each side for
+# exact streaming.
+BASE_CONV_CONTEXT = 32
 
 
 class ConvBlock(nn.Module):
@@ -82,7 +92,7 @@ class MaskNet(nn.Module):
     `num_extra_dilated_blocks` deepens the dilated stack (wide variant,
     BASELINE config 4); extra blocks continue the dilation doubling.
     `streaming=True` swaps the BiLSTM for a unidirectional LSTM whose
-    carry is threaded through `__call__` (BASELINE config 5).
+    carry is threaded through `__call__` / `mask_head` (BASELINE config 5).
     """
 
     num_freq: int = 601
@@ -98,20 +108,8 @@ class MaskNet(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        spec: jnp.ndarray,  # [B, T, F] normalized magnitude
-        emb: jnp.ndarray,  # [B, emb_dim] speaker d-vector
-        train: bool = False,
-        lstm_carry: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    ):
-        B, T, F = spec.shape
-        cd = self.compute_dtype
-        x = spec.astype(cd)[..., None]  # NHWC: [B, T, F, 1]
-
-        ch = self.conv_channels
-        blocks: Sequence[Tuple[Tuple[int, int], Tuple[int, int]]] = [
+    def setup(self):
+        specs: List[Tuple[Tuple[int, int], Tuple[int, int]]] = [
             ((1, 7), (1, 1)),  # cnn1 (reference `:19-21`)
             ((7, 1), (1, 1)),  # cnn2
             ((5, 5), (1, 1)),  # cnn3
@@ -121,42 +119,77 @@ class MaskNet(nn.Module):
             ((5, 5), (16, 1)),  # cnn7 — (65, 5)
         ]
         for i in range(self.num_extra_dilated_blocks):
-            blocks.append(((5, 5), (32 * 2**i, 1)))  # wide variant extension
-        for i, (kernel, dilation) in enumerate(blocks):
-            x = ConvBlock(
-                ch, kernel, dilation, self.activation,
-                self.param_dtype, cd, name=f"conv{i + 1}",
-            )(x, train)
-        x = ConvBlock(
-            self.conv_out_channels, (1, 1), (1, 1), self.activation,
-            self.param_dtype, cd, name=f"conv{len(blocks) + 1}",
-        )(x, train)
-
-        # [B, T, F, 8] → [B, T, 8F]  (reference flattens channel-major,
-        # `models/voicefilter/model.py:73-75`: [B, 8, T, F] → [B, T, 8*F])
-        x = jnp.swapaxes(x, 2, 3).reshape(B, T, self.conv_out_channels * F)
-
-        # per-frame speaker-embedding concat (reference `:77-82`)
-        emb_t = jnp.broadcast_to(emb.astype(cd)[:, None, :], (B, T, self.emb_dim))
-        x = jnp.concatenate([x, emb_t], axis=-1)  # [B, T, 8F + emb]
-
+            specs.append(((5, 5), (32 * 2**i, 1)))  # wide-variant extension
+        blocks = [
+            ConvBlock(
+                self.conv_channels, k, d, self.activation,
+                self.param_dtype, self.compute_dtype, name=f"conv{i + 1}",
+            )
+            for i, (k, d) in enumerate(specs)
+        ]
+        blocks.append(
+            ConvBlock(
+                self.conv_out_channels, (1, 1), (1, 1), self.activation,
+                self.param_dtype, self.compute_dtype, name=f"conv{len(specs) + 1}",
+            )
+        )
+        self.conv_blocks = blocks
         if self.streaming:
-            x, carry = UniLSTM(
-                self.lstm_dim, self.param_dtype, cd, name="lstm"
-            )(x, lstm_carry)
+            self.lstm = UniLSTM(self.lstm_dim, self.param_dtype, self.compute_dtype, name="lstm")
         else:
-            x = BiLSTM(self.lstm_dim, self.param_dtype, cd, name="lstm")(x)
+            self.lstm = BiLSTM(self.lstm_dim, self.param_dtype, self.compute_dtype, name="lstm")
+        self.fc1 = nn.Dense(self.fc1_dim, dtype=self.compute_dtype,
+                            param_dtype=self.param_dtype, name="fc1")
+        self.fc2 = nn.Dense(self.fc2_dim, dtype=self.compute_dtype,
+                            param_dtype=self.param_dtype, name="fc2")
+
+    @property
+    def conv_context(self) -> int:
+        """Frames of one-sided conv context (grows with extra blocks)."""
+        extra = sum(2 * 32 * 2**i for i in range(self.num_extra_dilated_blocks))
+        return BASE_CONV_CONTEXT + extra
+
+    def conv_features(self, spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """``[B, T, F]`` → flattened conv features ``[B, T, 8F]``."""
+        B, T, F = spec.shape
+        x = spec.astype(self.compute_dtype)[..., None]  # NHWC
+        for block in self.conv_blocks:
+            x = block(x, train)
+        # [B, T, F, 8] → [B, T, 8F] channel-major (reference `:73-75`)
+        return jnp.swapaxes(x, 2, 3).reshape(B, T, self.conv_out_channels * F)
+
+    def mask_head(
+        self,
+        features: jnp.ndarray,  # [B, T, 8F]
+        emb: jnp.ndarray,  # [B, emb_dim]
+        train: bool = False,
+        lstm_carry: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        B, T, _ = features.shape
+        cd = self.compute_dtype
+        emb_t = jnp.broadcast_to(emb.astype(cd)[:, None, :], (B, T, self.emb_dim))
+        x = jnp.concatenate([features, emb_t], axis=-1)  # [B, T, 8F + emb]
+        if self.streaming:
+            x, carry = self.lstm(x, lstm_carry)
+        else:
+            x = self.lstm(x)
             carry = None
-
         x = nn.relu(x)  # post-LSTM ReLU kept in both reference models (`:84`)
-        x = nn.Dense(self.fc1_dim, dtype=cd, param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.fc2_dim, dtype=cd, param_dtype=self.param_dtype, name="fc2")(x)
-        mask = jax.nn.sigmoid(x.astype(jnp.float32))  # [B, T, F] in fp32
-
+        x = nn.relu(self.fc1(x))
+        mask = jax.nn.sigmoid(self.fc2(x).astype(jnp.float32))  # fp32 [B, T, F]
         if self.streaming:
             return mask, carry
         return mask
+
+    def __call__(
+        self,
+        spec: jnp.ndarray,
+        emb: jnp.ndarray,
+        train: bool = False,
+        lstm_carry: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        features = self.conv_features(spec, train)
+        return self.mask_head(features, emb, train, lstm_carry)
 
 
 def make_masknet(config: Config, streaming: bool = False) -> MaskNet:

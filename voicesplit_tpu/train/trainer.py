@@ -46,7 +46,7 @@ class Trainer:
         checkpoint_path: Optional[str] = None,
         log_dir: Optional[str] = None,
         mesh=None,
-        model_parallel: bool = False,
+        model_parallel: int = 1,
         train_loader: Optional[BatchIterator] = None,
         eval_loader: Optional[BatchIterator] = None,
         enable_tb: bool = True,
@@ -55,13 +55,39 @@ class Trainer:
         self.log_dir = log_dir or config.train_config.logs_path
         self.ap: AudioProcessor = make_audio_processor(config)
         self.model = make_masknet(config)
-        self.mesh = mesh if mesh is not None else make_mesh(model=1)
-        self.model_parallel = model_parallel
+        if mesh is None:
+            # data axis must divide the per-host batch; use the largest
+            # device count that does rather than failing on small batches
+            import math
+
+            n_dev = len(jax.devices()) // model_parallel
+            data = math.gcd(config.train_config.batch_size, n_dev)
+            if data * model_parallel < len(jax.devices()):
+                print(
+                    f" ! batch_size {config.train_config.batch_size} / model_parallel "
+                    f"{model_parallel} — using a {data}x{model_parallel} mesh of "
+                    f"{len(jax.devices())} devices"
+                )
+            mesh = make_mesh(
+                data=data, model=model_parallel,
+                devices=jax.devices()[: data * model_parallel],
+            )
+        self.mesh = mesh
+        self.model_parallel = model_parallel > 1
 
         n_hosts = max(1, jax.process_count())
-        self.train_loader = train_loader or train_dataloader(
-            config, self.ap, shard_id=jax.process_index(), num_shards=n_hosts
-        )
+        if train_loader is None:
+            from voicesplit_tpu.data.dataset import SeparationDataset, discover_samples
+            from voicesplit_tpu.data.native_loader import make_train_iterator
+
+            samples = discover_samples(config.dataset.train_dir, config.dataset.format)
+            ds = SeparationDataset(samples, self.ap, config.audio.audio_len, config.model.emb_dim)
+            train_loader = make_train_iterator(
+                ds, config.train_config.batch_size, seed=config.train_config.seed,
+                shard_id=jax.process_index(), num_shards=n_hosts,
+                n_threads=max(2, config.train_config.num_workers),
+            )
+        self.train_loader = train_loader
         self.eval_loader = eval_loader or eval_dataloader(config, self.ap)
 
         tx = make_optimizer(config)

@@ -25,6 +25,13 @@ except Exception:  # pragma: no cover - environment without tensorboardX
     SummaryWriter = None
     _HAS_TB = False
 
+try:  # tensorboardX add_audio needs soundfile, which may be absent
+    import soundfile  # noqa: F401
+
+    _HAS_AUDIO = True
+except Exception:
+    _HAS_AUDIO = False
+
 
 def plot_spectrogram_to_numpy(spec: np.ndarray) -> np.ndarray:
     """Render a [T, F] spectrogram to an HWC uint8 image (matplotlib Agg),
@@ -83,14 +90,15 @@ class MetricsLogger:
         if not self.tb:
             return
         sr = self.sample_rate
-        for name, wav in (
-            ("mixed_wav", mixed_wav),
-            ("target_wav", target_wav),
-            ("estimated_wav", est_wav),
-        ):
-            if wav is not None:
-                peak = max(0.01, float(np.max(np.abs(wav))))
-                self.tb.add_audio(name, np.asarray(wav) / peak, step, sr)
+        if _HAS_AUDIO:
+            for name, wav in (
+                ("mixed_wav", mixed_wav),
+                ("target_wav", target_wav),
+                ("estimated_wav", est_wav),
+            ):
+                if wav is not None:
+                    peak = max(0.01, float(np.max(np.abs(wav))))
+                    self.tb.add_audio(name, np.asarray(wav) / peak, step, sr)
         for name, spec in (
             ("data_mixed_spec", mixed_spec),
             ("data_target_spec", target_spec),

@@ -1,0 +1,124 @@
+"""Profiling and speed-of-light accounting.
+
+The reference has no tracing at all (SURVEY.md §5 — `print` + `tqdm`).
+Here: a `jax.profiler` trace context, a block-until-ready timing harness
+with warmup, and a roofline estimator for the mask-net train step so
+measured step times can be compared against the hardware bound.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+# TPU v5e (per chip): 197 bf16 TFLOP/s, ~819 GB/s HBM.
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``with trace('/tmp/tb'):`` — writes a perfetto/tensorboard trace."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(
+    fn: Callable,
+    *args,
+    n_warmup: int = 2,
+    n_iters: int = 10,
+    sync: Optional[Callable] = None,
+    **kwargs,
+) -> Dict[str, float]:
+    """Median/best wall time of `fn(*args)` with device sync.
+
+    `sync(result)` must force completion; defaults to
+    ``jax.block_until_ready`` + a scalar `device_get` when possible (plain
+    block_until_ready under-reports on tunneled platforms).
+    """
+
+    def default_sync(res):
+        res = jax.block_until_ready(res)
+        leaves = jax.tree.leaves(res)
+        if leaves:
+            np.asarray(jax.device_get(leaves[0])).ravel()[:1]
+        return res
+
+    sync = sync or default_sync
+    for _ in range(n_warmup):
+        sync(fn(*args, **kwargs))
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        sync(fn(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    return {
+        "median_s": float(np.median(times)),
+        "best_s": float(np.min(times)),
+        "mean_s": float(np.mean(times)),
+    }
+
+
+@dataclass
+class StepCost:
+    flops: float
+    hbm_bytes: float
+
+    def speed_of_light_s(
+        self,
+        flops_per_s: float = V5E_BF16_FLOPS,
+        bytes_per_s: float = V5E_HBM_BYTES_PER_S,
+    ) -> float:
+        return max(self.flops / flops_per_s, self.hbm_bytes / bytes_per_s)
+
+    def mfu(self, measured_s: float, flops_per_s: float = V5E_BF16_FLOPS) -> float:
+        return self.flops / (measured_s * flops_per_s)
+
+
+def masknet_train_step_cost(
+    batch: int,
+    frames: int,
+    num_freq: int = 601,
+    conv_channels: int = 64,
+    conv_out: int = 8,
+    lstm_dim: int = 400,
+    fc1: int = 600,
+    emb: int = 256,
+    n_fft: int = 1200,
+    bytes_per_el: int = 2,
+) -> StepCost:
+    """Analytic FLOP/byte count of one fwd+bwd mask-net step (3× fwd rule).
+
+    Dominated by the 5 dilated 5×5 convs and the BiLSTM input projection;
+    includes the STFT/iSTFT basis matmuls.
+    """
+    B, T, F, C = batch, frames, num_freq, conv_channels
+    conv_flops = 0.0
+    # cnn1 1×7 (in 1), cnn2 7×1, cnn3-7 5×5, cnn8 1×1→8
+    conv_flops += 2 * B * T * F * 7 * 1 * C  # cnn1
+    conv_flops += 2 * B * T * F * 7 * C * C  # cnn2
+    conv_flops += 5 * (2 * B * T * F * 25 * C * C)  # cnn3-7
+    conv_flops += 2 * B * T * F * C * conv_out  # cnn8
+    lstm_in = conv_out * F + emb
+    lstm_flops = 2 * (  # two directions
+        2 * B * T * lstm_in * 4 * lstm_dim + 2 * B * T * lstm_dim * 4 * lstm_dim
+    )
+    fc_flops = 2 * B * T * (2 * lstm_dim) * fc1 + 2 * B * T * fc1 * F
+    dsp_flops = 4 * (2 * B * T * n_fft * (2 * F))  # 2×STFT + 2×iSTFT matmuls
+    fwd = conv_flops + lstm_flops + fc_flops + dsp_flops
+    flops = 3.0 * fwd  # fwd + bwd ≈ 3× fwd
+
+    # HBM traffic: activations written fwd + read bwd (2×), params ~negligible
+    act_els = B * T * F * (C * 8 + conv_out + 4)  # conv stack + masks/specs
+    act_els += B * T * (2 * lstm_dim + fc1 + 8 * lstm_dim)
+    hbm = 3 * act_els * bytes_per_el
+    return StepCost(flops=flops, hbm_bytes=hbm)
