@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from multiprocessing import Pool, cpu_count
+from multiprocessing import cpu_count, get_context
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -150,6 +150,90 @@ def preprocess_csv(
     if num_workers <= 1:
         results = [worker(j) for j in jobs]
     else:
-        with Pool(num_workers) as pool:
+        with get_context("spawn").Pool(num_workers) as pool:
+            results = pool.map(worker, jobs)
+    return int(sum(results))
+
+
+def _mix_one_sequential(
+    args: Tuple[int, Tuple[str, str, str], Tuple[str, str]],
+    out_dir: str,
+    fmt: DatasetFormat,
+    sample_rate: int,
+    save_specs: bool,
+    seed: int,
+) -> int:
+    """Worker for the non-overlap/noise variant; returns #variants written."""
+    num, (clean_path, emb_path, intf_path), (noise1_path, noise2_path) = args
+    try:
+        emb = load_wav(emb_path, sample_rate)
+        clean = load_wav(clean_path, sample_rate)
+        intf = load_wav(intf_path, sample_rate)
+        n1 = load_wav(noise1_path, sample_rate)
+        n2 = load_wav(noise2_path, sample_rate)
+    except Exception as e:
+        print(f"skip {num}: unreadable input ({e})")
+        return 0
+    rng = np.random.default_rng((seed, num))
+    samples = mix_sequential(emb, clean, intf, n1, n2, sample_rate, rng)
+    ap = None
+    if save_specs and samples:
+        from voicesplit_tpu.config import Config
+        from voicesplit_tpu.dsp.processor import AudioProcessor
+
+        ap = AudioProcessor(Config().audio)
+    for sub, sample in enumerate(samples, start=1):
+        write_sample(sample, out_dir, fmt, num, sample_rate, ap, sub=sub)
+    return len(samples)
+
+
+def preprocess_csv_sequential(
+    config: Config,
+    csv_path: str,
+    noise_csv_path: str,
+    dataset_root: str,
+    out_dir: str,
+    librispeech: bool = False,
+    num_workers: Optional[int] = None,
+    save_specs: bool = False,
+    limit: Optional[int] = None,
+    seed: int = 0,
+) -> int:
+    """Non-overlap/noise preprocessing (reference
+    `preprocess_by_csv_without_voice_overlay.py:17-125`): each triplet row
+    gets a random noise *pair* from the noise CSV; up to 4 variants are
+    written per row.  Returns total variants written."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = resolve_triplets(read_triplet_csv(csv_path), dataset_root, librispeech)
+    if limit:
+        rows = rows[:limit]
+    noise_files = [
+        os.path.join(dataset_root, str(r[0]))
+        for r in pd.read_csv(noise_csv_path, sep=",").values
+    ]
+    if len(noise_files) < 2:
+        raise ValueError("noise CSV needs at least 2 files")
+    rng = np.random.default_rng(seed)
+    noise_pairs = [
+        tuple(noise_files[i] for i in rng.choice(len(noise_files), 2, replace=False))
+        for _ in rows
+    ]
+    sample_rate = config.audio.active.sample_rate
+    worker = partial(
+        _mix_one_sequential,
+        out_dir=out_dir,
+        fmt=config.dataset.format,
+        sample_rate=sample_rate,
+        save_specs=save_specs,
+        seed=seed,
+    )
+    jobs = [(i, row, pair) for i, (row, pair) in enumerate(zip(rows, noise_pairs))]
+    num_workers = num_workers or cpu_count()
+    if num_workers <= 1:
+        results = [worker(j) for j in jobs]
+    else:
+        with get_context("spawn").Pool(num_workers) as pool:
             results = pool.map(worker, jobs)
     return int(sum(results))

@@ -104,8 +104,9 @@ class AudioProcessor:
 
         voicefilter semantics (reference `utils/audio_processor.py:469-476`):
         ``normalize(amp_to_db(|STFT|) - ref_level_db)`` and the raw phase.
-        wavernn/waveglow backends apply their own normalization; see
-        `spectrogram_batch`.
+        wavernn/waveglow backends apply their own normalization, and with
+        ``mel_spec=True`` return mel spectrograms (reference
+        `spectrogram`/`melspectrogram`, `utils/audio_processor.py:201-215`).
         """
         if self.backend == "wavernn" and self.preemph != 0.0:
             y = preemphasis(y, self.preemph)
@@ -113,8 +114,31 @@ class AudioProcessor:
         if self.backend == "voicefilter":
             S = amp_to_db(mag) - self.ref_level_db
             return normalize_db(S, self.min_level_db), phase
+        if self.mel_spec:
+            mag = jnp.einsum(
+                "mf,...tf->...tm", jnp.asarray(self.mel_basis), mag,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         S = self._amp_to_db_floored(mag) - self.ref_level_db
         return self._normalize_generic(S), phase
+
+    def mag_to_mel(self, mag: jnp.ndarray) -> jnp.ndarray:
+        """Linear magnitudes ``[..., T, F]`` → mel ``[..., T, M]`` (the
+        reference exposes this for WaveGlow vocoder use, `config.json:45`)."""
+        return jnp.einsum(
+            "mf,...tf->...tm", jnp.asarray(self.mel_basis), mag,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def mel_to_linear(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """Pseudo-inverse mel→linear (reference `_mel_to_linear`,
+        `utils/audio_processor.py:125-127`)."""
+        pinv = np.linalg.pinv(self.mel_basis)
+        out = jnp.einsum(
+            "fm,...tm->...tf", jnp.asarray(pinv), mel,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.maximum(1e-10, out)
 
     def spec2wav_batch(
         self, spec: jnp.ndarray, phase: jnp.ndarray, length: Optional[int] = None
@@ -239,7 +263,12 @@ class AudioProcessor:
             S = denormalize_db(spec, self.min_level_db) + self.ref_level_db
         else:
             S = self._denormalize_generic(spec) + self.ref_level_db
-        mag = db_to_amp(S) ** self.power
+        mag = db_to_amp(S)
+        if self.backend != "voicefilter" and self.mel_spec:
+            # mel → linear before Griffin-Lim (reference `inv_mel_spectrogram`,
+            # `utils/audio_processor.py:250-259`)
+            mag = self.mel_to_linear(mag)
+        mag = mag**self.power
         wav = np.asarray(self._jit_griffin_lim(mag))
         if self.backend == "wavernn" and self.preemph != 0.0:
             wav = np.asarray(inv_preemphasis(jnp.asarray(wav), self.preemph))

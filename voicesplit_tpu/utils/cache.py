@@ -17,6 +17,11 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/voicesplit_tpu/xla")
 def enable_compile_cache() -> None:
     if os.environ.get("VOICESPLIT_NO_COMPILE_CACHE") == "1":
         return
+    # The axon PJRT plugin (tunneled single-chip dev platform) compiles
+    # remotely; the persistent cache deadlocks its compile RPC. Skip it
+    # there — real TPU runtimes keep the cache.
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        return
     import jax
 
     cache_dir = os.environ.get("VOICESPLIT_COMPILE_CACHE_DIR", _DEFAULT_DIR)
