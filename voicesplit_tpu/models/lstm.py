@@ -56,6 +56,7 @@ class _LSTMBase(nn.Module):
     hidden: int
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True  # fused kernel on TPU; lax.scan elsewhere
 
     def _direction_params(self, name: str, features: int):
         H = self.hidden
@@ -73,6 +74,21 @@ class _LSTMBase(nn.Module):
     def _run(self, x, w_ih, w_hh, b, h0, c0, reverse):
         cd = self.compute_dtype
         x_proj = x.astype(cd) @ w_ih.astype(cd) + b.astype(cd)
+        if self.use_pallas:
+            from voicesplit_tpu.ops.lstm_pallas import (
+                fused_lstm_scan,
+                pallas_lstm_available,
+            )
+
+            if pallas_lstm_available():
+                if reverse:
+                    out, carry = fused_lstm_scan(
+                        x_proj[:, ::-1], w_hh.astype(cd), h0.astype(cd), c0.astype(cd)
+                    )
+                    return out[:, ::-1], carry
+                return fused_lstm_scan(
+                    x_proj, w_hh.astype(cd), h0.astype(cd), c0.astype(cd)
+                )
         return lstm_scan(x_proj, w_hh.astype(cd), h0.astype(cd), c0.astype(cd), reverse)
 
 

@@ -1,0 +1,261 @@
+"""Fused LSTM recurrence as a Pallas TPU kernel.
+
+The model's BiLSTM is a `lax.scan` whose per-step work is one small
+matmul ``h @ W_hh [H, 4H]`` plus elementwise gates
+(`voicesplit_tpu/models/lstm.py`).  Under XLA each scan iteration
+re-streams ``W_hh`` and the gate temporaries through HBM; this kernel
+instead runs the WHOLE time loop inside one Pallas program:
+
+- grid ``(T,)`` — sequential on a TensorCore, so VMEM scratch carries
+  ``(h, c)`` across steps;
+- ``W_hh`` (2.56 MB fp32 at H=400) stays resident in VMEM for all T
+  steps — zero re-fetch;
+- the gate nonlinearities fuse into the matmul epilogue on the VPU;
+- backward is a second kernel walking the grid in reverse, carrying
+  ``(dh, dc)`` in scratch and accumulating ``dW_hh`` in a VMEM
+  accumulator that is written out once.
+
+Forward saves the activated gates ``[T, B, 4H]`` and cell states for the
+backward pass (the standard memory/recompute trade — the gates are small
+next to the conv activations).
+
+Layouts are time-major ``[T, B, ·]`` so each grid step's block is a
+contiguous ``[1, B, ·]`` slice.  `fused_lstm_scan` wraps the kernels in a
+`jax.custom_vjp` with the same signature/results as
+`models.lstm.lstm_scan` (batch-major in/out) and is numerically
+interchangeable with it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_lstm_available() -> bool:
+    """Fused kernel active only on TPU, opt-in via VOICESPLIT_PALLAS_LSTM=1
+    until it has been validated on real hardware (interpret-mode tests
+    cover numerics; Mosaic compilation is hardware-specific)."""
+    import os
+
+    if os.environ.get("VOICESPLIT_PALLAS_LSTM", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref, hs_ref, cs_ref, gates_ref, h_scr, c_scr):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    H = h_scr.shape[-1]
+    gates = xp_ref[0] + jnp.dot(
+        h_scr[:], whh_ref[:], preferred_element_type=jnp.float32
+    )
+    i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+    c = f * c_scr[:] + i * g
+    h = o * jnp.tanh(c)
+    h_scr[:] = h
+    c_scr[:] = c
+    hs_ref[0] = h
+    cs_ref[0] = c
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
+
+
+def _fwd(xp, whh, h0, c0):
+    """xp [T, B, 4H] → (hs, cs, gates) time-major."""
+    T, B, G = xp.shape
+    H = G // 4
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, H), jnp.float32),  # hs
+        jax.ShapeDtypeStruct((T, B, H), jnp.float32),  # cs
+        jax.ShapeDtypeStruct((T, B, G), jnp.float32),  # activated gates
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=not pallas_lstm_available(),
+    )(xp.astype(jnp.float32), whh.astype(jnp.float32), h0.astype(jnp.float32), c0.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (reverse grid walk)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    whh_ref, gates_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dhf_ref, dcf_ref,
+    dxp_ref, dwhh_ref, dh0_ref, dc0_ref,
+    dh_scr, dc_scr, dw_scr,
+):
+    t = pl.program_id(0)  # walks T-1 → 0 via index maps
+    n = pl.num_programs(0)
+    H = dh_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        # reverse carry starts from the final-state cotangents
+        dh_scr[:] = dhf_ref[:]
+        dc_scr[:] = dcf_ref[:]
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+
+    gates = gates_ref[0]
+    i = gates[:, 0 * H : 1 * H]
+    f = gates[:, 1 * H : 2 * H]
+    g = gates[:, 2 * H : 3 * H]
+    o = gates[:, 3 * H : 4 * H]
+    c_prev = cs_prev_ref[0]
+    h_prev = hs_prev_ref[0]
+    c = f * c_prev + i * g
+    tc = jnp.tanh(c)
+
+    dh = dhs_ref[0] + dh_scr[:]
+    do = dh * tc
+    dct = dh * o * (1.0 - tc * tc) + dc_scr[:]
+    di = dct * g
+    dg = dct * i
+    df = dct * c_prev
+    dc_prev = dct * f
+
+    dgi = di * i * (1.0 - i)
+    dgf = df * f * (1.0 - f)
+    dgg = dg * (1.0 - g * g)
+    dgo = do * o * (1.0 - o)
+    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # [B, 4H]
+
+    dxp_ref[0] = dgates
+    # dh_prev = dgates @ whh^T
+    dh_scr[:] = jax.lax.dot_general(
+        dgates, whh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dc_scr[:] = dc_prev
+    # dW_hh += h_prev^T @ dgates
+    dw_scr[:] += jax.lax.dot_general(
+        h_prev, dgates, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == n - 1)  # after processing t_abs = 0
+    def _():
+        dwhh_ref[:] = dw_scr[:]
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
+def _bwd(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf):
+    T, B, G = gates.shape
+    H = G // 4
+    rev = lambda t: (T - 1 - t, 0, 0)
+    in_specs = [
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, G), jnp.float32),  # dxp
+        jax.ShapeDtypeStruct((H, G), jnp.float32),  # dwhh
+        jax.ShapeDtypeStruct((B, H), jnp.float32),  # dh0
+        jax.ShapeDtypeStruct((B, H), jnp.float32),  # dc0
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((H, G), jnp.float32),
+        ],
+        interpret=not pallas_lstm_available(),
+    )(whh.astype(jnp.float32), gates, cs_prev, hs_prev, dhs, dhf, dcf)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper (batch-major public API, matching models.lstm.lstm_scan)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def fused_lstm_scan(
+    x_proj: jnp.ndarray,  # [B, T, 4H]
+    w_hh: jnp.ndarray,  # [H, 4H]
+    h0: jnp.ndarray,  # [B, H]
+    c0: jnp.ndarray,  # [B, H]
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    out, _ = _fused_fwd(x_proj, w_hh, h0, c0)
+    return out
+
+
+def _fused_fwd(x_proj, w_hh, h0, c0):
+    xp = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
+    hs, cs, gates = _fwd(xp, w_hh, h0, c0)
+    outputs = jnp.swapaxes(hs, 0, 1).astype(x_proj.dtype)
+    h_final = hs[-1]
+    c_final = cs[-1]
+    result = (outputs, (h_final.astype(x_proj.dtype), c_final.astype(x_proj.dtype)))
+    residuals = (w_hh, gates, cs, hs, h0, c0)
+    return result, residuals
+
+
+def _fused_bwd(residuals, grads):
+    w_hh, gates, cs, hs, h0, c0 = residuals
+    d_outputs, (d_hfinal, d_cfinal) = grads
+    dhs = jnp.swapaxes(d_outputs.astype(jnp.float32), 0, 1)  # [T, B, H]
+    # cs/hs shifted: step t needs c_{t-1}, h_{t-1}
+    cs_prev = jnp.concatenate([c0.astype(jnp.float32)[None], cs[:-1]], axis=0)
+    hs_prev = jnp.concatenate([h0.astype(jnp.float32)[None], hs[:-1]], axis=0)
+    dxp, dwhh, dh0, dc0 = _bwd(
+        w_hh, gates, cs_prev, hs_prev, dhs,
+        d_hfinal.astype(jnp.float32), d_cfinal.astype(jnp.float32),
+    )
+    dx_proj = jnp.swapaxes(dxp, 0, 1)
+    return dx_proj, dwhh.astype(w_hh.dtype), dh0, dc0
+
+
+fused_lstm_scan.defvjp(_fused_fwd, _fused_bwd)
