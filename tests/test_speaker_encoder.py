@@ -1,0 +1,66 @@
+"""GE2E speaker-encoder parity: the torch-state-dict import reproduces a
+torch reference encoder's embeddings."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from voicesplit_tpu.models.speaker_encoder import SpeakerEncoder, load_torch_state_dict
+
+
+class _TorchGE2E(torch.nn.Module):
+    """Same topology as the reference notebook's SpeakerEncoder
+    (`GE2E-...-openvoicefilter.py:63-85`), used as a golden generator."""
+
+    def __init__(self, num_mels=40, lstm_hidden=32, lstm_layers=3, emb_dim=16,
+                 window=20, stride=10):
+        super().__init__()
+        self.lstm = torch.nn.LSTM(num_mels, lstm_hidden, num_layers=lstm_layers,
+                                  batch_first=True)
+        self.proj = torch.nn.Linear(lstm_hidden, emb_dim)
+        self.window, self.stride = window, stride
+
+    def forward(self, mel):  # [M, T]
+        mels = mel.unfold(1, self.window, self.stride)  # [M, T', W]
+        mels = mels.permute(1, 2, 0)  # [T', W, M]
+        x, _ = self.lstm(mels)
+        x = x[:, -1, :]
+        x = self.proj(x)
+        x = x / torch.norm(x, p=2, dim=1, keepdim=True)
+        return x.sum(0) / x.size(0)
+
+
+def test_torch_import_matches():
+    tm = _TorchGE2E()
+    tm.eval()
+    mel = np.random.default_rng(0).standard_normal((40, 95)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(mel)).numpy()
+
+    sd = {k.replace("proj.", "proj.linear_layer."): v.numpy()
+          for k, v in tm.state_dict().items()}
+    variables = load_torch_state_dict(sd)
+    enc = SpeakerEncoder(num_mels=40, lstm_hidden=32, lstm_layers=3, emb_dim=16,
+                         window=20, stride=10)
+    got = np.asarray(enc.apply(variables, jnp.asarray(mel)[None]))[0]
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_mulaw_roundtrip():
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+
+    wav = np.random.default_rng(1).uniform(-1, 1, 1000).astype(np.float32)
+    enc = AudioProcessor.mulaw_encode(wav, 9)
+    assert enc.min() >= 0 and enc.max() <= 2**9 - 1
+    # decode path: scale encoded back to [-1, 1] first (reference usage)
+    dec = AudioProcessor.mulaw_decode(AudioProcessor.dequantize(enc, 9), 9)
+    assert np.abs(dec - wav).max() < 0.02
+
+
+def test_quantize_roundtrip():
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+
+    x = np.linspace(-1, 1, 100).astype(np.float32)
+    q = AudioProcessor.quantize(x, 10)
+    np.testing.assert_allclose(AudioProcessor.dequantize(q, 10), x, atol=1e-6)

@@ -292,6 +292,45 @@ class AudioProcessor:
     def save_wav(self, wav: np.ndarray, path: str) -> None:
         audio_io.save_wav(wav, path, self.sample_rate)
 
+    # --- wavernn vocoder utilities (reference `utils/audio_processor.py:
+    # 282-335`) -------------------------------------------------------
+
+    @staticmethod
+    def mulaw_encode(wav: np.ndarray, qc: int) -> np.ndarray:
+        """μ-law companding + quantization to ``2^qc`` levels."""
+        mu = 2**qc - 1
+        signal = np.sign(wav) * np.log1p(mu * np.abs(wav)) / np.log1p(mu)
+        return np.floor((signal + 1) / 2 * mu + 0.5)
+
+    @staticmethod
+    def mulaw_decode(wav: np.ndarray, qc: int) -> np.ndarray:
+        mu = 2**qc - 1
+        return np.sign(wav) / mu * ((1 + mu) ** np.abs(wav) - 1)
+
+    @staticmethod
+    def encode_16bits(x: np.ndarray) -> np.ndarray:
+        return np.clip(x * 2**15, -(2**15), 2**15 - 1).astype(np.int16)
+
+    @staticmethod
+    def quantize(x: np.ndarray, bits: int) -> np.ndarray:
+        return (x + 1.0) * (2**bits - 1) / 2
+
+    @staticmethod
+    def dequantize(x: np.ndarray, bits: int) -> np.ndarray:
+        return 2 * x / (2**bits - 1) - 1
+
+    def find_endpoint(
+        self, wav: np.ndarray, threshold_db: float = -40.0, min_silence_sec: float = 0.8
+    ) -> int:
+        """First index after which the signal stays below `threshold_db`."""
+        window = int(self.sample_rate * min_silence_sec)
+        hop = max(1, window // 4)
+        threshold = float(np.asarray(db_to_amp(jnp.asarray(threshold_db))))
+        for x in range(hop, max(hop + 1, len(wav) - window), hop):
+            if np.max(np.abs(wav[x : x + window])) < threshold:
+                return x + hop
+        return len(wav)
+
     # ------------------------------------------------------------------
 
     def frames_for(self, n_samples: int) -> int:
