@@ -2,15 +2,15 @@
 
 Usage: python scripts/profile_step.py [B]
 
-Times, with proper sync: full train step, forward-only loss, mask-net
-forward alone, conv stack alone, BiLSTM alone, DSP (STFT+iSTFT) alone —
-and prints the roofline comparison.  This is the measurement behind the
-kernel-optimization priorities.
+Every timed piece is wrapped to return a SCALAR (jnp.sum of its outputs)
+so syncing costs one float transfer — essential over the tunneled dev
+chip, where fetching a full activation tensor dominates the timing.
 """
 
 from __future__ import annotations
 
 import sys
+import time
 
 import numpy as np
 
@@ -21,7 +21,21 @@ from voicesplit_tpu.config import Config
 from voicesplit_tpu.dsp.processor import AudioProcessor
 from voicesplit_tpu.models.masknet import make_masknet
 from voicesplit_tpu.train import create_train_state, make_optimizer, make_train_step
-from voicesplit_tpu.utils.profiling import masknet_train_step_cost, time_fn
+from voicesplit_tpu.utils.profiling import masknet_train_step_cost
+
+
+def _time_scalar(fn, *args, n_warmup=2, n_iters=10):
+    """fn must return a scalar jax array."""
+    for _ in range(n_warmup):
+        r = fn(*args)
+    float(jax.device_get(r))
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        float(jax.device_get(r))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def main():
@@ -50,43 +64,42 @@ def main():
     spec = jax.device_put(rng.uniform(0, 1, (B, T, F)).astype(np.float32))
     emb = batch["emb"]
     phase = jax.device_put(rng.uniform(-3, 3, (B, T, F)).astype(np.float32))
-
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     pieces = {}
 
-    pieces["full_train_step"] = time_fn(lambda: step(state, batch))
-
-    fwd = jax.jit(lambda v, s, e: model.apply(v, s, e, train=False))
-    pieces["masknet_forward"] = time_fn(lambda: fwd(variables, spec, emb))
-
-    conv = jax.jit(
-        lambda v, s: model.apply(v, s, train=False, method=model.conv_features)
+    pieces["full_train_step"] = _time_scalar(
+        jax.jit(lambda s, b: step(s, b)[1]["loss"]), state, batch
     )
-    pieces["conv_stack_fwd"] = time_fn(lambda: conv(variables, spec))
-
-    feats = conv(variables, spec)
-    head = jax.jit(
-        lambda v, f, e: model.apply(v, f, e, train=False, method=model.mask_head)
+    pieces["masknet_fwd"] = _time_scalar(
+        jax.jit(lambda v, s, e: jnp.sum(model.apply(v, s, e, train=False))),
+        variables, spec, emb,
     )
-    pieces["lstm_head_fwd"] = time_fn(lambda: head(variables, feats, emb))
+    pieces["conv_stack_fwd"] = _time_scalar(
+        jax.jit(lambda v, s: jnp.sum(
+            model.apply(v, s, train=False, method=model.conv_features))),
+        variables, spec,
+    )
+    pieces["stft_fwd"] = _time_scalar(
+        jax.jit(lambda w: sum(jnp.sum(x) for x in ap.wav2spec_batch(w))),
+        batch["mixed_wav"],
+    )
+    pieces["istft_fwd"] = _time_scalar(
+        jax.jit(lambda s, p: jnp.sum(ap.spec2wav_batch(s, p))), spec, phase
+    )
 
-    w2s = jax.jit(ap.wav2spec_batch)
-    pieces["stft"] = time_fn(lambda: w2s(batch["mixed_wav"]))
-    s2w = jax.jit(ap.spec2wav_batch)
-    pieces["istft"] = time_fn(lambda: s2w(spec, phase))
-
-    # forward+backward of the mask-net alone (no DSP, MSE loss)
-    def fwd_loss(p, bs, s, e):
+    def masknet_loss(p, bs, s, e):
         mask, _ = model.apply(
             {"params": p, "batch_stats": bs}, s, e, train=True, mutable=["batch_stats"]
         )
         return jnp.mean((mask - 0.5) ** 2)
 
-    grad = jax.jit(jax.grad(fwd_loss))
-    pieces["masknet_fwd_bwd"] = time_fn(lambda: grad(state.params, state.batch_stats, spec, emb))
+    pieces["masknet_fwd_bwd"] = _time_scalar(
+        jax.jit(lambda p, bs, s, e: sum(
+            jnp.sum(g) for g in jax.tree.leaves(jax.grad(masknet_loss)(p, bs, s, e)))),
+        state.params, state.batch_stats, spec, emb,
+    )
 
-    # conv stack fwd+bwd alone
     def conv_loss(p, bs, s):
         out = model.apply(
             {"params": p, "batch_stats": bs}, s, train=True,
@@ -94,15 +107,31 @@ def main():
         )[0]
         return jnp.mean(out * out)
 
-    cgrad = jax.jit(jax.grad(conv_loss))
-    pieces["conv_fwd_bwd"] = time_fn(lambda: cgrad(state.params, state.batch_stats, spec))
+    pieces["conv_fwd_bwd"] = _time_scalar(
+        jax.jit(lambda p, bs, s: sum(
+            jnp.sum(g) for g in jax.tree.leaves(jax.grad(conv_loss)(p, bs, s)))),
+        state.params, state.batch_stats, spec,
+    )
+
+    def head_loss(p, bs, f, e):
+        m = model.apply({"params": p, "batch_stats": bs}, f, e, method=model.mask_head)
+        return jnp.sum(m * m)
+
+    feats = jax.jit(
+        lambda v, s: model.apply(v, s, train=False, method=model.conv_features)
+    )(variables, spec)
+    pieces["lstm_head_fwd_bwd"] = _time_scalar(
+        jax.jit(lambda p, bs, f, e: sum(
+            jnp.sum(g) for g in jax.tree.leaves(jax.grad(head_loss)(p, bs, f, e)))),
+        state.params, state.batch_stats, feats, emb,
+    )
 
     cost = masknet_train_step_cost(B, T)
-    print(f"\n=== B={B} T={T} F={F} ===")
+    print(f"\n=== B={B} T={T} F={F} backend={jax.default_backend()} ===")
     for name, t in pieces.items():
-        print(f"{name:20s} {t['median_s'] * 1e3:8.2f} ms")
+        print(f"{name:20s} {t * 1e3:8.2f} ms")
     print(f"{'roofline (SoL)':20s} {cost.speed_of_light_s() * 1e3:8.2f} ms")
-    print(f"MFU: {cost.mfu(pieces['full_train_step']['median_s']) * 100:.1f}%")
+    print(f"MFU: {cost.mfu(pieces['full_train_step']) * 100:.1f}%")
 
 
 if __name__ == "__main__":

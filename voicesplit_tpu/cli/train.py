@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--eval_sdr", action="store_true",
                         help="compute host-side SDR during eval (slower)")
+    parser.add_argument("--online", action="store_true",
+                        help="mix 2-speaker training batches on the fly from a "
+                             "speaker-per-directory corpus at dataset.train_dir "
+                             "instead of reading pre-mixed triplets")
+    parser.add_argument("--embeddings_dir", type=str, default=None,
+                        help="with --online: <speaker>.npy d-vectors")
     args = parser.parse_args(argv)
 
     from voicesplit_tpu.utils.cache import enable_compile_cache
@@ -41,10 +47,40 @@ def main(argv=None):
     with open(os.path.join(config.train_config.logs_path, "config.json"), "w") as f:
         f.write(config.to_json())
 
+    train_loader = None
+    if args.online:
+        import jax
+
+        from voicesplit_tpu.data.online import OnlineMixIterator, discover_utterances
+
+        speakers = discover_utterances(config.dataset.train_dir)
+        embeddings = None
+        if args.embeddings_dir:
+            from glob import glob as _glob
+
+            embeddings = {
+                os.path.splitext(os.path.basename(p))[0]: p
+                for p in _glob(os.path.join(args.embeddings_dir, "*.npy"))
+            }
+        ap_cfg = config.audio.active
+        train_loader = OnlineMixIterator(
+            speakers,
+            config.train_config.batch_size,
+            sample_rate=ap_cfg.sample_rate,
+            audio_len=config.audio.audio_len,
+            hop_length=ap_cfg.hop_length,
+            emb_dim=config.model.emb_dim,
+            embeddings=embeddings,
+            seed=config.train_config.seed,
+            shard_id=jax.process_index(),
+            num_shards=max(1, jax.process_count()),
+        )
+
     trainer = Trainer(
         config,
         checkpoint_path=args.checkpoint_path,
         model_parallel=args.model_parallel,
+        train_loader=train_loader,
     )
     result = trainer.fit(max_steps=args.max_steps, compute_sdr_in_eval=args.eval_sdr)
     print(f"done: {result}")

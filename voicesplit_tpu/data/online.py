@@ -1,0 +1,192 @@
+"""On-the-fly overlap-mixing training pipeline.
+
+The reference mixes offline into ``.pt`` dumps (`preprocess_by_csv.py`)
+— every epoch sees the same mixtures.  This iterator performs the same
+`mix_overlap` operation at batch-assembly time instead: every epoch
+draws fresh speaker pairs and crops, which is both a data-augmentation
+win and removes the disk blow-up of pre-mixed corpora.
+
+Deterministic and resumable like `BatchIterator`: the RNG for item ``k``
+of epoch ``e`` is seeded by ``(seed, e, k)``, so `state`/`load_state`
+reproduce the exact stream on any host; host sharding partitions the
+per-epoch item index space.  An LRU wav cache keeps repeated utterance
+loads cheap.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from glob import glob
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from voicesplit_tpu.data.dataset import IteratorState
+from voicesplit_tpu.data.mixer import mix_overlap
+from voicesplit_tpu.dsp.audio_io import load_wav
+
+
+def discover_utterances(root: str, min_bytes: int = 1000) -> Dict[str, List[str]]:
+    """Speaker → wav paths for two common layouts:
+
+    - LibriSpeech: ``root/<spk>/<chapter>/*.wav``
+    - speaker-per-dir (VCTK-ish): ``root/<spk>/*.wav``
+    """
+    speakers: Dict[str, List[str]] = {}
+    for spk in sorted(os.listdir(root)):
+        spk_dir = os.path.join(root, spk)
+        if not os.path.isdir(spk_dir):
+            continue
+        wavs = sorted(glob(os.path.join(spk_dir, "*.wav"))) + sorted(
+            glob(os.path.join(spk_dir, "*", "*.wav"))
+        )
+        wavs = [w for w in wavs if os.path.getsize(w) >= min_bytes]
+        if len(wavs) >= 2:  # need clean + emb reference from the same speaker
+            speakers[spk] = wavs
+    return speakers
+
+
+class _WavCache:
+    def __init__(self, capacity: int, sample_rate: int):
+        self.capacity = capacity
+        self.sample_rate = sample_rate
+        self._store: OrderedDict[str, np.ndarray] = OrderedDict()
+
+    def get(self, path: str) -> np.ndarray:
+        if path in self._store:
+            self._store.move_to_end(path)
+            return self._store[path]
+        wav = load_wav(path, self.sample_rate)
+        self._store[path] = wav
+        if len(self._store) > self.capacity:
+            self._store.popitem(last=False)
+        return wav
+
+
+class OnlineMixIterator:
+    """Fresh 2-speaker mixtures every epoch, batched and fixed-shape.
+
+    `embeddings` maps speaker id → d-vector (array or ``.npy``/``.pt``
+    path).  Speakers without an embedding use a deterministic unit-norm
+    pseudo-vector (smoke mode) so the pipeline runs end-to-end before
+    GE2E extraction has happened.
+    """
+
+    def __init__(
+        self,
+        speakers: Dict[str, List[str]],
+        batch_size: int,
+        sample_rate: int = 16000,
+        audio_len: float = 3.0,
+        hop_length: int = 160,
+        emb_dim: int = 256,
+        embeddings: Optional[Dict[str, "np.ndarray | str"]] = None,
+        items_per_epoch: Optional[int] = None,
+        seed: int = 42,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        cache_size: int = 512,
+        max_retries: int = 10,
+    ):
+        if len(speakers) < 2:
+            raise ValueError("need at least 2 speakers to mix")
+        self.speaker_ids = sorted(speakers)
+        self.speakers = speakers
+        self.batch_size = batch_size
+        self.sample_rate = sample_rate
+        self.audio_len = audio_len
+        self.hop_length = hop_length
+        self.emb_dim = emb_dim
+        self.n_samples = int(sample_rate * audio_len)
+        self.n_frames = 1 + (self.n_samples + 2 * 600 - 1200) // hop_length  # info only
+        self.embeddings = embeddings or {}
+        self.items_per_epoch = items_per_epoch or sum(len(v) for v in speakers.values())
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.max_retries = max_retries
+        self._cache = _WavCache(cache_size, sample_rate)
+        self._emb_cache: Dict[str, np.ndarray] = {}
+        self._state = IteratorState(seed=seed)
+
+    # -- state ----------------------------------------------------------
+    @property
+    def state(self) -> IteratorState:
+        return IteratorState(**self._state.to_dict())
+
+    def load_state(self, state: IteratorState) -> None:
+        self._state = IteratorState(**state.to_dict())
+
+    def batches_per_epoch(self) -> int:
+        return (self.items_per_epoch // self.num_shards) // self.batch_size
+
+    # -- embedding lookup ----------------------------------------------
+    def _embedding(self, spk: str) -> np.ndarray:
+        if spk in self._emb_cache:
+            return self._emb_cache[spk]
+        src = self.embeddings.get(spk)
+        if src is None:
+            v = np.random.default_rng(abs(hash(("pseudo-emb", spk))) % 2**32).standard_normal(self.emb_dim)
+            emb = (v / np.linalg.norm(v)).astype(np.float32)
+        elif isinstance(src, np.ndarray):
+            emb = src.astype(np.float32).reshape(-1)
+        else:
+            from voicesplit_tpu.data.dataset import _load_array
+
+            emb = _load_array(src).astype(np.float32).reshape(-1)
+        self._emb_cache[spk] = emb
+        return emb
+
+    # -- mixing ---------------------------------------------------------
+    def _make_item(self, epoch: int, index: int) -> Dict[str, np.ndarray]:
+        base = np.random.default_rng((self._state.seed, epoch, index))
+        for attempt in range(self.max_retries):
+            rng = np.random.default_rng(base.integers(0, 2**63))
+            tgt, intf = rng.choice(len(self.speaker_ids), size=2, replace=False)
+            tgt_spk = self.speaker_ids[int(tgt)]
+            intf_spk = self.speaker_ids[int(intf)]
+            tgt_utts = self.speakers[tgt_spk]
+            clean_path, emb_path = (
+                tgt_utts[int(i)] for i in rng.choice(len(tgt_utts), 2, replace=len(tgt_utts) < 2)
+            )
+            intf_utts = self.speakers[intf_spk]
+            intf_path = intf_utts[int(rng.integers(0, len(intf_utts)))]
+            sample = mix_overlap(
+                self._cache.get(emb_path),
+                self._cache.get(clean_path),
+                self._cache.get(intf_path),
+                self.sample_rate,
+                self.audio_len,
+            )
+            if sample is None:
+                continue  # utterance too short — redraw deterministically
+            L = self.n_samples
+            return {
+                "emb": self._embedding(tgt_spk),
+                "target_wav": sample.target_wav[:L].astype(np.float32),
+                "mixed_wav": sample.mixed_wav[:L].astype(np.float32),
+                "wav_len": np.int32(L),
+                "seq_len": np.int32(1 + L // self.hop_length),
+            }
+        raise RuntimeError(
+            f"could not build a mixture after {self.max_retries} draws "
+            f"(utterances shorter than {self.audio_len}s?)"
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        st = self._state
+        nb = self.batches_per_epoch()
+        if nb == 0:
+            raise ValueError("items_per_epoch smaller than one batch per shard")
+        if st.position >= nb:
+            st.epoch += 1
+            st.position = 0
+        start = (st.position * self.num_shards + self.shard_id) * self.batch_size
+        items = [
+            self._make_item(st.epoch, start + i) for i in range(self.batch_size)
+        ]
+        st.position += 1
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}

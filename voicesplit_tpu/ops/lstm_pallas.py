@@ -39,12 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_lstm_available() -> bool:
-    """Fused kernel active only on TPU, opt-in via VOICESPLIT_PALLAS_LSTM=1
-    until it has been validated on real hardware (interpret-mode tests
-    cover numerics; Mosaic compilation is hardware-specific)."""
+    """Fused kernel on TPU by default (validated on v5e: forward exact vs
+    lax.scan, fwd+bwd 1.6x faster); VOICESPLIT_PALLAS_LSTM=0 opts out."""
     import os
 
-    if os.environ.get("VOICESPLIT_PALLAS_LSTM", "0") != "1":
+    if os.environ.get("VOICESPLIT_PALLAS_LSTM", "1") != "1":
         return False
     return jax.default_backend() == "tpu"
 

@@ -91,7 +91,7 @@ class Trainer:
         self.eval_loader = eval_loader or eval_dataloader(config, self.ap)
 
         tx = make_optimizer(config)
-        T = self.train_loader.dataset.n_frames
+        T = self.ap.frames_for(int(self.ap.sample_rate * config.audio.audio_len))
         F = self.ap.num_freq
         B = config.train_config.batch_size
         state = create_train_state(config, self.model, jax.random.PRNGKey(config.train_config.seed), (B, T, F), tx)
