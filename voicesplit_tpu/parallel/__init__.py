@@ -1,8 +1,13 @@
 """Device meshes, sharding rules, and multi-host helpers."""
 
-from voicesplit_tpu.parallel.mesh import make_mesh, local_batch_size
+from voicesplit_tpu.parallel.mesh import (
+    initialize_distributed,
+    local_batch_size,
+    make_mesh,
+)
 from voicesplit_tpu.parallel.sharding import (
     batch_sharding,
     param_partition_spec,
+    put_batch,
     shard_train_state,
 )

@@ -12,6 +12,7 @@ host feeds its own batch shard (`voicesplit_tpu.data` shards by host id).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -42,8 +43,19 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host init (no-op when single-process)."""
+    """Multi-host init (no-op when single-process).
+
+    Must run before any other JAX call.  On the CPU backend (the fake
+    multi-host cluster used in tests — SURVEY.md §4) cross-process
+    collectives need the gloo transport, which single-backend TPU
+    slices don't.
+    """
     if num_processes and num_processes > 1:
+        # NB: don't touch jax.default_backend() here — it would initialize
+        # the backends before jax.distributed does.
+        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if "cpu" in str(platforms):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 

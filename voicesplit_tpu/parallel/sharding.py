@@ -64,6 +64,24 @@ def batch_sharding(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, NamedS
     }
 
 
+def put_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    """Place a host-local batch on the mesh, data-sharded on axis 0.
+
+    Single-process: plain `device_put`.  Multi-process (each host feeds
+    its own shard of the global batch, the way the reference's 14
+    DataLoader workers feed one GPU — `utils/dataset.py:60-68` — scaled
+    to hosts): assemble a global `jax.Array` from per-process shards
+    without any cross-host data movement.
+    """
+    shardings = batch_sharding(mesh, batch)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(shardings[k], np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 def shard_train_state(state, mesh: Mesh, model_parallel: bool = False):
     """Place a TrainState on the mesh.
 
@@ -72,9 +90,18 @@ def shard_train_state(state, mesh: Mesh, model_parallel: bool = False):
     shape lookup; everything else is replicated.
     """
     param_specs = param_partition_spec(state.params, model_parallel)
+    multiprocess = jax.process_count() > 1
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multiprocess:
+            # every host holds the full (identically-initialized) value;
+            # each contributes only its addressable shards.  global_shape
+            # is pinned so inference never concatenates across processes.
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x), global_shape=np.shape(x)
+            )
+        return jax.device_put(x, sh)
 
     params = jax.tree.map(put, state.params, param_specs)
 

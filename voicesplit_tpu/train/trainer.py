@@ -28,7 +28,7 @@ from voicesplit_tpu.dsp.processor import AudioProcessor, make_audio_processor
 from voicesplit_tpu.eval.validation import validate
 from voicesplit_tpu.models.masknet import make_masknet
 from voicesplit_tpu.parallel.mesh import make_mesh
-from voicesplit_tpu.parallel.sharding import batch_sharding, shard_train_state
+from voicesplit_tpu.parallel.sharding import put_batch, shard_train_state
 from voicesplit_tpu.train.checkpoint import (
     load_checkpoint,
     restore_train_state,
@@ -124,8 +124,7 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _put(self, batch: Dict[str, np.ndarray]):
-        shardings = batch_sharding(self.mesh, batch)
-        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+        return put_batch(self.mesh, batch)
 
     def fit(
         self,
