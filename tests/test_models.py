@@ -190,3 +190,49 @@ def test_speaker_encoder_shapes():
     # mean of per-window unit vectors has norm <= 1
     norms = np.linalg.norm(np.asarray(emb), axis=-1)
     assert (norms <= 1.0 + 1e-5).all() and (norms > 0.1).all()
+
+
+def test_tapsum_conv_matches_nn_conv(model_and_vars, monkeypatch):
+    """The TPU tap-sum conv path (ops/conv_tapsum.py) is numerically
+    interchangeable with the flax/XLA conv path — same param tree, same
+    mask output."""
+    from voicesplit_tpu.models.masknet import tapsum_conv_enabled
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(7)
+    spec = jnp.asarray(rng.uniform(0, 1, (B, T, F)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((B, EMB)).astype(np.float32))
+
+    monkeypatch.setenv("VOICESPLIT_TAPSUM_CONV", "0")
+    assert not tapsum_conv_enabled()
+    mask_conv = model.apply(variables, spec, emb, train=False)
+
+    monkeypatch.setenv("VOICESPLIT_TAPSUM_CONV", "1")
+    assert tapsum_conv_enabled()
+    # same variables load unchanged (identical param tree)
+    mask_tap = model.apply(variables, spec, emb, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(mask_conv), np.asarray(mask_tap), atol=2e-5
+    )
+
+
+def test_tapsum_conv_grad_matches(model_and_vars, monkeypatch):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(8)
+    spec = jnp.asarray(rng.uniform(0, 1, (B, T, F)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((B, EMB)).astype(np.float32))
+
+    def loss(params):
+        m = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            spec, emb, train=False,
+        )
+        return jnp.mean((m - 0.5) ** 2)
+
+    monkeypatch.setenv("VOICESPLIT_TAPSUM_CONV", "0")
+    g0 = jax.grad(loss)(variables["params"])
+    monkeypatch.setenv("VOICESPLIT_TAPSUM_CONV", "1")
+    g1 = jax.grad(loss)(variables["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -28,7 +28,25 @@ def main(argv=None):
                              "instead of reading pre-mixed triplets")
     parser.add_argument("--embeddings_dir", type=str, default=None,
                         help="with --online: <speaker>.npy d-vectors")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: coordinator address host:port")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total number of host processes")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this host's process index")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (debugging companion to the "
+                             "on-device loss-explosion guard)")
     args = parser.parse_args(argv)
+
+    if args.num_processes and args.num_processes > 1:
+        from voicesplit_tpu.parallel import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from voicesplit_tpu.utils.cache import enable_compile_cache
 

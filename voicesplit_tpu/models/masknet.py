@@ -49,6 +49,47 @@ _ACTIVATIONS = {"relu": nn.relu, "mish": mish}
 BASE_CONV_CONTEXT = 32
 
 
+def tapsum_conv_enabled() -> bool:
+    """Opt-in (VOICESPLIT_TAPSUM_CONV=1) alternative conv path.
+
+    Measured on v5e (B=16): the XLA-materialized freq-im2col concat makes
+    this 2.5x SLOWER than XLA's native conv emitters (517 vs 210 ms/step)
+    — the concat streams 5x the activation bytes through HBM.  Kept as a
+    tested, numerically-identical formulation (the basis of the Pallas
+    conv kernel, which builds the same K=320 operand in VMEM instead)."""
+    import os
+
+    return os.environ.get("VOICESPLIT_TAPSUM_CONV", "0") == "1"
+
+
+class _TapsumConv(nn.Module):
+    """Param-compatible stand-in for `nn.Conv` (same kernel/bias names &
+    shapes) that computes the conv via `ops.conv_tapsum`."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_dilation: Tuple[int, int]
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from voicesplit_tpu.ops.conv_tapsum import conv2d_tapsum
+
+        kt, kf = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kt, kf, cin, self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+        return conv2d_tapsum(
+            x.astype(self.dtype), kernel, bias, self.kernel_dilation
+        )
+
+
 class ConvBlock(nn.Module):
     """ZeroPad → Conv2D → BatchNorm → activation (one reference conv layer)."""
 
@@ -66,15 +107,26 @@ class ConvBlock(nn.Module):
         # explicit "same" padding, matching the reference's ZeroPad2d sizes
         pad_t = (kt - 1) * dt // 2
         pad_f = (kf - 1) * df // 2
-        x = nn.Conv(
-            self.features,
-            kernel_size=self.kernel,
-            kernel_dilation=self.dilation,
-            padding=((pad_t, pad_t), (pad_f, pad_f)),
-            use_bias=True,
-            dtype=self.compute_dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        if tapsum_conv_enabled():
+            x = _TapsumConv(
+                self.features,
+                self.kernel,
+                self.dilation,
+                self.compute_dtype,
+                self.param_dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=self.kernel,
+                kernel_dilation=self.dilation,
+                padding=((pad_t, pad_t), (pad_f, pad_f)),
+                use_bias=True,
+                dtype=self.compute_dtype,
+                param_dtype=self.param_dtype,
+                name="Conv_0",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
