@@ -69,3 +69,37 @@ def test_lstm_module_pallas_flag_matches():
     m2 = BiLSTM(H, use_pallas=True)
     out2 = m2.apply(v, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_fused_bilstm_matches_two_scans():
+    """Fused both-directions kernel (interpret mode) == two lax.scan passes."""
+    from voicesplit_tpu.models.lstm import lstm_scan
+    from voicesplit_tpu.ops.lstm_pallas import fused_bilstm_scan
+
+    rng = np.random.default_rng(11)
+    B, T, H = 8, 19, 16
+    xp_f = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32))
+    xp_b = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32))
+    whf = jnp.asarray((0.3 * rng.standard_normal((H, 4 * H))).astype(np.float32))
+    whb = jnp.asarray((0.3 * rng.standard_normal((H, 4 * H))).astype(np.float32))
+    zeros = jnp.zeros((B, H), jnp.float32)
+
+    ref_f, _ = lstm_scan(xp_f, whf, zeros, zeros, reverse=False)
+    ref_b, _ = lstm_scan(xp_b, whb, zeros, zeros, reverse=True)
+    out_f, out_b = fused_bilstm_scan(xp_f, xp_b, whf, whb)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b), atol=1e-5)
+
+    def loss_ref(xf, xb, wf, wb):
+        a, _ = lstm_scan(xf, wf, zeros, zeros, False)
+        b, _ = lstm_scan(xb, wb, zeros, zeros, True)
+        return jnp.sum(jnp.sin(a) * jnp.cos(b))
+
+    def loss_fused(xf, xb, wf, wb):
+        a, b = fused_bilstm_scan(xf, xb, wf, wb)
+        return jnp.sum(jnp.sin(a) * jnp.cos(b))
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(xp_f, xp_b, whf, whb)
+    g_fus = jax.grad(loss_fused, (0, 1, 2, 3))(xp_f, xp_b, whf, whb)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -158,6 +158,12 @@ def frame_signal(
     """Slice ``y [..., L]`` into overlapping frames ``[..., T, n_fft]``.
 
     `center=True` reflect-pads by ``n_fft // 2`` first (librosa convention).
+
+    Framing uses the gcd-subframe decomposition: with
+    ``sub = gcd(n_fft, hop)`` the signal reshapes into ``sub``-sample
+    subframes and each frame is ``n_fft/sub`` strided slices — static
+    `lax.slice` ops XLA fuses, instead of a gather (the fancy-index
+    gather lowered to a real TPU gather and dominated STFT time).
     """
     if center:
         pad = n_fft // 2
@@ -165,9 +171,21 @@ def frame_signal(
         y = jnp.pad(y, pad_cfg, mode="reflect")
     L = y.shape[-1]
     T = 1 + (L - n_fft) // hop_length
-    starts = np.arange(T) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # [T, n_fft] static
-    return y[..., idx]
+    # hop-block decomposition: reshape into hop-sized blocks, then frame t
+    # is blocks [t, t + n_fft//hop) plus a partial block — plain stride-1
+    # slices + one concat, which XLA fuses (a fancy-index gather here
+    # lowered to a real TPU gather and dominated STFT time).
+    nfull = n_fft // hop_length
+    rem = n_fft % hop_length
+    need = T + nfull + (1 if rem else 0)
+    pad_r = need * hop_length - L
+    if pad_r > 0:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad_r)])
+    blocks = y[..., : need * hop_length].reshape(*y.shape[:-1], need, hop_length)
+    parts = [blocks[..., k : k + T, :] for k in range(nfull)]
+    if rem:
+        parts.append(blocks[..., nfull : nfull + T, :rem])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def stft(
@@ -183,6 +201,9 @@ def stft(
 
     Matches ``librosa.stft`` (transposed to time-major), which the reference
     calls at `utils/audio_processor.py:511-514`.
+
+    Frames come from the hop-block decomposition in `frame_signal`
+    (stride-1 slices, no gather); the DFT is one big basis matmul.
     """
     cos_b, sin_b = stft_basis(n_fft, win_length, window)
     frames = frame_signal(y, n_fft, hop_length, center).astype(dtype)

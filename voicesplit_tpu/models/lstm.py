@@ -112,14 +112,33 @@ class UniLSTM(_LSTMBase):
 
 
 class BiLSTM(_LSTMBase):
-    """Bidirectional LSTM; returns ``[B, T, 2H]`` (fwd ∥ bwd concat)."""
+    """Bidirectional LSTM; returns ``[B, T, 2H]`` (fwd ∥ bwd concat).
+
+    On TPU both directions run in ONE fused sequential Pallas kernel
+    (direction stacked into the batch dim — halves the sequential kernel
+    count and doubles MXU row occupancy per step)."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, T, F = x.shape
-        zeros = jnp.zeros((B, self.hidden), self.compute_dtype)
+        cd = self.compute_dtype
+        zeros = jnp.zeros((B, self.hidden), cd)
         wf = self._direction_params("fwd", F)
         wb = self._direction_params("bwd", F)
+        if self.use_pallas and B % 8 == 0:
+            from voicesplit_tpu.ops.lstm_pallas import (
+                fused_bilstm_scan,
+                pallas_lstm_available,
+            )
+
+            if pallas_lstm_available():
+                xc = x.astype(cd)
+                xp_f = xc @ wf[0].astype(cd) + wf[2].astype(cd)
+                xp_b = xc @ wb[0].astype(cd) + wb[2].astype(cd)
+                out_f, out_b = fused_bilstm_scan(
+                    xp_f, xp_b, wf[1].astype(cd), wb[1].astype(cd)
+                )
+                return jnp.concatenate([out_f, out_b], axis=-1)
         out_f, _ = self._run(x, *wf, zeros, zeros, reverse=False)
         out_b, _ = self._run(x, *wb, zeros, zeros, reverse=True)
         return jnp.concatenate([out_f, out_b], axis=-1)

@@ -62,20 +62,24 @@ def tapsum_conv_enabled() -> bool:
     return os.environ.get("VOICESPLIT_TAPSUM_CONV", "0") == "1"
 
 
-class _TapsumConv(nn.Module):
+class _CustomConv(nn.Module):
     """Param-compatible stand-in for `nn.Conv` (same kernel/bias names &
-    shapes) that computes the conv via `ops.conv_tapsum`."""
+    shapes) that computes the conv via a custom op:
+
+    - ``impl="pallas"`` → `ops.conv_pallas.conv_dispatch` (fused Pallas
+      kernel for the heavy layers on TPU, XLA conv elsewhere);
+    - ``impl="tapsum"`` → `ops.conv_tapsum.conv2d_tapsum` (XLA-level
+      tap-sum formulation, opt-in)."""
 
     features: int
     kernel_size: Tuple[int, int]
     kernel_dilation: Tuple[int, int]
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from voicesplit_tpu.ops.conv_tapsum import conv2d_tapsum
-
         kt, kf = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param(
@@ -85,9 +89,14 @@ class _TapsumConv(nn.Module):
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
-        return conv2d_tapsum(
-            x.astype(self.dtype), kernel, bias, self.kernel_dilation
-        )
+        x = x.astype(self.dtype)
+        if self.impl == "tapsum":
+            from voicesplit_tpu.ops.conv_tapsum import conv2d_tapsum
+
+            return conv2d_tapsum(x, kernel, bias, self.kernel_dilation)
+        from voicesplit_tpu.ops.conv_pallas import conv_dispatch
+
+        return conv_dispatch(x, kernel, bias, self.kernel_dilation)
 
 
 class ConvBlock(nn.Module):
@@ -107,14 +116,19 @@ class ConvBlock(nn.Module):
         # explicit "same" padding, matching the reference's ZeroPad2d sizes
         pad_t = (kt - 1) * dt // 2
         pad_f = (kf - 1) * df // 2
+        from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
+
         if tapsum_conv_enabled():
-            x = _TapsumConv(
-                self.features,
-                self.kernel,
-                self.dilation,
-                self.compute_dtype,
-                self.param_dtype,
-                name="Conv_0",
+            x = _CustomConv(
+                self.features, self.kernel, self.dilation,
+                self.compute_dtype, self.param_dtype,
+                impl="tapsum", name="Conv_0",
+            )(x)
+        elif pallas_conv_available():
+            x = _CustomConv(
+                self.features, self.kernel, self.dilation,
+                self.compute_dtype, self.param_dtype,
+                impl="pallas", name="Conv_0",
             )(x)
         else:
             x = nn.Conv(

@@ -220,6 +220,241 @@ def _bwd(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Fused bidirectional kernels: both directions advance in ONE sequential
+# pass — step t processes fwd-time t in rows [0, B) and bwd-time T-1-t in
+# rows [B, 2B).  Halves the number of sequential Pallas programs and
+# keeps both W_hh resident; the two recurrent matmuls per step pipeline
+# on the MXU within one kernel instead of across two kernel launches.
+# ---------------------------------------------------------------------------
+
+
+def _fwd2_kernel(
+    xp_ref, whhf_ref, whhb_ref, h0_ref, c0_ref, hs_ref, cs_ref, gates_ref,
+    h_scr, c_scr, *, half,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    H = h_scr.shape[-1]
+    B = half
+    rec_f = jnp.dot(h_scr[0:B], whhf_ref[:], preferred_element_type=jnp.float32)
+    rec_b = jnp.dot(h_scr[B:], whhb_ref[:], preferred_element_type=jnp.float32)
+    gates = xp_ref[0] + jnp.concatenate([rec_f, rec_b], axis=0)
+    i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+    c = f * c_scr[:] + i * g
+    h = o * jnp.tanh(c)
+    h_scr[:] = h
+    c_scr[:] = c
+    hs_ref[0] = h
+    cs_ref[0] = c
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
+
+
+def _fwd2(xp, whh_f, whh_b, h0, c0):
+    """xp [T, 2B, 4H] → (hs, cs, gates) time-major, both directions."""
+    T, B2, G = xp.shape
+    H = G // 4
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B2, H), jnp.float32),
+        jax.ShapeDtypeStruct((T, B2, H), jnp.float32),
+        jax.ShapeDtypeStruct((T, B2, G), jnp.float32),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd2_kernel, half=B2 // 2),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B2, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B2, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B2, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B2, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, G), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B2, H), jnp.float32),
+            pltpu.VMEM((B2, H), jnp.float32),
+        ],
+        interpret=not pallas_lstm_available(),
+    )(
+        xp.astype(jnp.float32), whh_f.astype(jnp.float32),
+        whh_b.astype(jnp.float32), h0.astype(jnp.float32), c0.astype(jnp.float32),
+    )
+
+
+def _bwd2_kernel(
+    whhf_ref, whhb_ref, gates_ref, cs_prev_ref, hs_prev_ref, dhs_ref,
+    dxp_ref, dwf_ref, dwb_ref,
+    dh_scr, dc_scr, dwf_scr, dwb_scr, *, half,
+):
+    t = pl.program_id(0)  # walks T-1 → 0 via index maps
+    n = pl.num_programs(0)
+    H = dh_scr.shape[-1]
+    B = half
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwf_scr[:] = jnp.zeros_like(dwf_scr)
+        dwb_scr[:] = jnp.zeros_like(dwb_scr)
+
+    gates = gates_ref[0]
+    i = gates[:, 0 * H : 1 * H]
+    f = gates[:, 1 * H : 2 * H]
+    g = gates[:, 2 * H : 3 * H]
+    o = gates[:, 3 * H : 4 * H]
+    c_prev = cs_prev_ref[0]
+    h_prev = hs_prev_ref[0]
+    c = f * c_prev + i * g
+    tc = jnp.tanh(c)
+
+    dh = dhs_ref[0] + dh_scr[:]
+    do = dh * tc
+    dct = dh * o * (1.0 - tc * tc) + dc_scr[:]
+    di = dct * g
+    dg = dct * i
+    df = dct * c_prev
+    dc_prev = dct * f
+
+    dgi = di * i * (1.0 - i)
+    dgf = df * f * (1.0 - f)
+    dgg = dg * (1.0 - g * g)
+    dgo = do * o * (1.0 - o)
+    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # [2B, 4H]
+
+    dxp_ref[0] = dgates
+    dh_f = jax.lax.dot_general(
+        dgates[0:B], whhf_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_b = jax.lax.dot_general(
+        dgates[B:], whhb_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_scr[:] = jnp.concatenate([dh_f, dh_b], axis=0)
+    dc_scr[:] = dc_prev
+    dwf_scr[:] += jax.lax.dot_general(
+        h_prev[0:B], dgates[0:B], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwb_scr[:] += jax.lax.dot_general(
+        h_prev[B:], dgates[B:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == n - 1)
+    def _():
+        dwf_ref[:] = dwf_scr[:]
+        dwb_ref[:] = dwb_scr[:]
+
+
+def _bwd2(whh_f, whh_b, gates, cs_prev, hs_prev, dhs):
+    T, B2, G = gates.shape
+    H = G // 4
+    rev = lambda t: (T - 1 - t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_bwd2_kernel, half=B2 // 2),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B2, H), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B2, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B2, G), jnp.float32),
+            jax.ShapeDtypeStruct((H, G), jnp.float32),
+            jax.ShapeDtypeStruct((H, G), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B2, H), jnp.float32),
+            pltpu.VMEM((B2, H), jnp.float32),
+            pltpu.VMEM((H, G), jnp.float32),
+            pltpu.VMEM((H, G), jnp.float32),
+        ],
+        interpret=not pallas_lstm_available(),
+    )(
+        whh_f.astype(jnp.float32), whh_b.astype(jnp.float32),
+        gates, cs_prev, hs_prev, dhs,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_bilstm_scan(
+    x_proj_f: jnp.ndarray,  # [B, T, 4H] — fwd-direction input projection
+    x_proj_b: jnp.ndarray,  # [B, T, 4H] — bwd-direction input projection
+    w_hh_f: jnp.ndarray,  # [H, 4H]
+    w_hh_b: jnp.ndarray,  # [H, 4H]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both BiLSTM directions in one fused sequential kernel.
+
+    Zero initial state (what the model's BiLSTM uses).  Returns
+    ``(out_f [B, T, H], out_b [B, T, H])`` — bwd outputs already
+    back-reversed into natural time order.
+    """
+    out, _ = _fused2_fwd(x_proj_f, x_proj_b, w_hh_f, w_hh_b)
+    return out
+
+
+def _fused2_fwd(x_proj_f, x_proj_b, w_hh_f, w_hh_b):
+    B, T, G = x_proj_f.shape
+    H = G // 4
+    xcat = jnp.concatenate(
+        [jnp.swapaxes(x_proj_f, 0, 1), jnp.swapaxes(x_proj_b[:, ::-1], 0, 1)],
+        axis=1,
+    )  # [T, 2B, G]
+    zeros = jnp.zeros((2 * B, H), jnp.float32)
+    hs, cs, gates = _fwd2(xcat, w_hh_f, w_hh_b, zeros, zeros)
+    out_f = jnp.swapaxes(hs[:, :B], 0, 1).astype(x_proj_f.dtype)
+    out_b = jnp.swapaxes(hs[:, B:], 0, 1)[:, ::-1].astype(x_proj_f.dtype)
+    residuals = (w_hh_f, w_hh_b, gates, cs, hs)
+    return (out_f, out_b), residuals
+
+
+def _fused2_bwd(residuals, grads):
+    w_hh_f, w_hh_b, gates, cs, hs = residuals
+    d_out_f, d_out_b = grads
+    T, B2, H = hs.shape
+    B = B2 // 2
+    dhs = jnp.concatenate(
+        [
+            jnp.swapaxes(d_out_f.astype(jnp.float32), 0, 1),
+            jnp.swapaxes(d_out_b.astype(jnp.float32)[:, ::-1], 0, 1),
+        ],
+        axis=1,
+    )  # [T, 2B, H]
+    zeros = jnp.zeros((B2, H), jnp.float32)
+    cs_prev = jnp.concatenate([zeros[None], cs[:-1]], axis=0)
+    hs_prev = jnp.concatenate([zeros[None], hs[:-1]], axis=0)
+    dxp, dwf, dwb = _bwd2(w_hh_f, w_hh_b, gates, cs_prev, hs_prev, dhs)
+    dxp_f = jnp.swapaxes(dxp[:, :B], 0, 1)
+    dxp_b = jnp.swapaxes(dxp[:, B:], 0, 1)[:, ::-1]
+    return dxp_f, dxp_b, dwf.astype(w_hh_f.dtype), dwb.astype(w_hh_b.dtype)
+
+
+fused_bilstm_scan.defvjp(_fused2_fwd, _fused2_bwd)
+
+
 @jax.custom_vjp
 def fused_lstm_scan(
     x_proj: jnp.ndarray,  # [B, T, 4H]
