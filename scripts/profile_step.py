@@ -9,8 +9,13 @@ chip, where fetching a full activation tensor dominates the timing.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# self-locating: PYTHONPATH must stay untouched (prepending the repo
+# breaks the axon PJRT plugin registration in sitecustomize)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

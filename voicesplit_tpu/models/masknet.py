@@ -62,6 +62,67 @@ def tapsum_conv_enabled() -> bool:
     return os.environ.get("VOICESPLIT_TAPSUM_CONV", "0") == "1"
 
 
+class _FoldedConv(nn.Module):
+    """Conv in folded frequency layout (`ops/conv_fold.py`), with the same
+    param names/shapes as `nn.Conv` so checkpoints and sharding rules are
+    interchangeable with every other conv path."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_dilation: Tuple[int, int]
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, xf: jnp.ndarray) -> jnp.ndarray:
+        from voicesplit_tpu.ops.conv_fold import FOLD, conv2d_folded
+
+        kt, kf = self.kernel_size
+        cin = xf.shape[-1] // FOLD
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kt, kf, cin, self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+        return conv2d_folded(
+            xf.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype),
+            self.kernel_dilation,
+        )
+
+
+class _FoldedBatchNorm(nn.Module):
+    """`nn.BatchNorm`-equivalent statistics computed in folded layout
+    (same variable names: params scale/bias, batch_stats mean/var, all
+    canonical [C]); exact because the zero pad column is excluded via the
+    real element count (`ops/conv_fold.py::folded_batch_norm`)."""
+
+    num_freq: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xf: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        from voicesplit_tpu.ops.conv_fold import FOLD, folded_batch_norm
+
+        C = xf.shape[-1] // FOLD
+        scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        y, new_mean, new_var = folded_batch_norm(
+            xf, self.num_freq, scale, bias, ra_mean.value, ra_var.value,
+            use_running_average, self.momentum, self.epsilon,
+        )
+        if not use_running_average and not self.is_initializing():
+            ra_mean.value = new_mean
+            ra_var.value = new_var
+        return y
+
+
 class _CustomConv(nn.Module):
     """Param-compatible stand-in for `nn.Conv` (same kernel/bias names &
     shapes) that computes the conv via a custom op:
@@ -108,6 +169,8 @@ class ConvBlock(nn.Module):
     activation: str = "relu"
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
+    folded: bool = False  # input/output in folded frequency layout
+    num_freq: int = 0  # real F (folded layout bookkeeping)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -118,6 +181,20 @@ class ConvBlock(nn.Module):
         pad_f = (kf - 1) * df // 2
         from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
 
+        if self.folded:
+            from voicesplit_tpu.ops.conv_fold import zero_pad_column
+
+            xf = _FoldedConv(
+                self.features, self.kernel, self.dilation,
+                self.compute_dtype, self.param_dtype, name="Conv_0",
+            )(x)
+            # garbage at the pad column must not pollute BN statistics
+            xf = zero_pad_column(xf, self.num_freq)
+            xf = _FoldedBatchNorm(self.num_freq, name="BatchNorm_0")(
+                xf, use_running_average=not train)
+            xf = _ACTIVATIONS[self.activation](xf)
+            # ... and must be zero again for the next layer's conv reads
+            return zero_pad_column(xf, self.num_freq)
         if tapsum_conv_enabled():
             x = _CustomConv(
                 self.features, self.kernel, self.dilation,
@@ -174,7 +251,21 @@ class MaskNet(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
 
+    def _use_folded_convs(self) -> bool:
+        """Folded frequency layout is the default conv path (2.3x fwd+bwd
+        on v5e vs XLA's 64-channel convs, `ops/conv_fold.py`); the
+        opt-in tapsum/Pallas experiments take precedence when set."""
+        from voicesplit_tpu.ops.conv_fold import folded_conv_enabled
+        from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
+
+        return (
+            folded_conv_enabled()
+            and not tapsum_conv_enabled()
+            and not pallas_conv_available()
+        )
+
     def setup(self):
+        folded = self._use_folded_convs()
         specs: List[Tuple[Tuple[int, int], Tuple[int, int]]] = [
             ((1, 7), (1, 1)),  # cnn1 (reference `:19-21`)
             ((7, 1), (1, 1)),  # cnn2
@@ -189,14 +280,16 @@ class MaskNet(nn.Module):
         blocks = [
             ConvBlock(
                 self.conv_channels, k, d, self.activation,
-                self.param_dtype, self.compute_dtype, name=f"conv{i + 1}",
+                self.param_dtype, self.compute_dtype,
+                folded=folded, num_freq=self.num_freq, name=f"conv{i + 1}",
             )
             for i, (k, d) in enumerate(specs)
         ]
         blocks.append(
             ConvBlock(
                 self.conv_out_channels, (1, 1), (1, 1), self.activation,
-                self.param_dtype, self.compute_dtype, name=f"conv{len(specs) + 1}",
+                self.param_dtype, self.compute_dtype,
+                folded=folded, num_freq=self.num_freq, name=f"conv{len(specs) + 1}",
             )
         )
         self.conv_blocks = blocks
@@ -219,8 +312,17 @@ class MaskNet(nn.Module):
         """``[B, T, F]`` → flattened conv features ``[B, T, 8F]``."""
         B, T, F = spec.shape
         x = spec.astype(self.compute_dtype)[..., None]  # NHWC
-        for block in self.conv_blocks:
-            x = block(x, train)
+        if self.conv_blocks[0].folded:
+            from voicesplit_tpu.ops.conv_fold import fold_input, unfold_output
+
+            # fold ONCE for the whole stack (pad + free bitcast reshape)
+            xf = fold_input(x)
+            for block in self.conv_blocks:
+                xf = block(xf, train)
+            x = unfold_output(xf, F)
+        else:
+            for block in self.conv_blocks:
+                x = block(x, train)
         # [B, T, F, 8] → [B, T, 8F] channel-major (reference `:73-75`)
         return jnp.swapaxes(x, 2, 3).reshape(B, T, self.conv_out_channels * F)
 
