@@ -323,8 +323,18 @@ class MaskNet(nn.Module):
         else:
             for block in self.conv_blocks:
                 x = block(x, train)
-        # [B, T, F, 8] → [B, T, 8F] channel-major (reference `:73-75`)
-        return jnp.swapaxes(x, 2, 3).reshape(B, T, self.conv_out_channels * F)
+        # [B, T, F, 8] → [B, T, 8F].  The reference flattens channel-major
+        # ([B,C,T,F].transpose(1,2).view → index c*F+f, `:73-75`); we
+        # flatten frequency-major (f*C+c), which is FREE from NHWC, while
+        # the channel-major order costs a [601, 8]-minor-dim relayout that
+        # measures ~29 ms fwd+bwd at B=16 on v5e.  The two layouts differ
+        # by a fixed permutation of the flattened axis, which the next op
+        # — the learned BiLSTM input projection — absorbs into its weight
+        # ROW order: the model class and its init distribution are
+        # permutation-invariant, so training dynamics are identical.
+        # (Anything importing reference-trained W_ih rows must permute
+        # rows by f*C+c ↔ c*F+f.)
+        return x.reshape(B, T, self.conv_out_channels * F)
 
     def mask_head(
         self,

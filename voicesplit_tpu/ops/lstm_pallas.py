@@ -8,12 +8,20 @@ instead runs the WHOLE time loop inside one Pallas program:
 
 - grid ``(T,)`` — sequential on a TensorCore, so VMEM scratch carries
   ``(h, c)`` across steps;
-- ``W_hh`` (2.56 MB fp32 at H=400) stays resident in VMEM for all T
+- ``W_hh`` (1.28 MB bf16 at H=400) stays resident in VMEM for all T
   steps — zero re-fetch;
 - the gate nonlinearities fuse into the matmul epilogue on the VPU;
 - backward is a second kernel walking the grid in reverse, carrying
   ``(dh, dc)`` in scratch and accumulating ``dW_hh`` in a VMEM
   accumulator that is written out once.
+
+Precision: the recurrent MXU matmuls run in the dtype the caller hands
+``w_hh`` / ``x_proj`` in (bf16 under the model's default compute_dtype —
+an fp32 matmul costs ~6 MXU passes per bf16 pass on v5e, and was the
+dominant per-step latency).  The carried ``(h, c)`` state, the gate
+activations, and every backward accumulator (``dh``, ``dc``, ``dW_hh``)
+stay fp32 regardless — only the matmul OPERANDS are cast, mirroring
+standard mixed-precision LSTM training.
 
 Forward saves the activated gates ``[T, B, 4H]`` and cell states for the
 backward pass (the standard memory/recompute trade — the gates are small
@@ -62,8 +70,9 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref, hs_ref, cs_ref, gates_ref, h_sc
         c_scr[:] = c0_ref[:]
 
     H = h_scr.shape[-1]
-    gates = xp_ref[0] + jnp.dot(
-        h_scr[:], whh_ref[:], preferred_element_type=jnp.float32
+    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
+        h_scr[:].astype(whh_ref.dtype), whh_ref[:],
+        preferred_element_type=jnp.float32,
     )
     i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
     f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
@@ -107,7 +116,7 @@ def _fwd(xp, whh, h0, c0):
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=not pallas_lstm_available(),
-    )(xp.astype(jnp.float32), whh.astype(jnp.float32), h0.astype(jnp.float32), c0.astype(jnp.float32))
+    )(xp, whh, h0.astype(jnp.float32), c0.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -155,16 +164,17 @@ def _bwd_kernel(
     dgo = do * o * (1.0 - o)
     dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # [B, 4H]
 
-    dxp_ref[0] = dgates
+    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
+    dgates_mxu = dgates.astype(whh_ref.dtype)
     # dh_prev = dgates @ whh^T
     dh_scr[:] = jax.lax.dot_general(
-        dgates, whh_ref[:], (((1,), (1,)), ((), ())),
+        dgates_mxu, whh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dc_scr[:] = dc_prev
     # dW_hh += h_prev^T @ dgates
     dw_scr[:] += jax.lax.dot_general(
-        h_prev, dgates, (((0,), (0,)), ((), ())),
+        h_prev.astype(whh_ref.dtype), dgates_mxu, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -175,7 +185,7 @@ def _bwd_kernel(
         dc0_ref[:] = dc_scr[:]
 
 
-def _bwd(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf):
+def _bwd(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf, dxp_dtype=jnp.float32):
     T, B, G = gates.shape
     H = G // 4
     rev = lambda t: (T - 1 - t, 0, 0)
@@ -195,7 +205,7 @@ def _bwd(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf):
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((T, B, G), jnp.float32),  # dxp
+        jax.ShapeDtypeStruct((T, B, G), dxp_dtype),  # dxp
         jax.ShapeDtypeStruct((H, G), jnp.float32),  # dwhh
         jax.ShapeDtypeStruct((B, H), jnp.float32),  # dh0
         jax.ShapeDtypeStruct((B, H), jnp.float32),  # dc0
@@ -212,7 +222,7 @@ def _bwd(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf):
             pltpu.VMEM((H, G), jnp.float32),
         ],
         interpret=not pallas_lstm_available(),
-    )(whh.astype(jnp.float32), gates, cs_prev, hs_prev, dhs, dhf, dcf)
+    )(whh, gates, cs_prev, hs_prev, dhs, dhf, dcf)
 
 
 # ---------------------------------------------------------------------------
@@ -242,9 +252,10 @@ def _fwd2_kernel(
 
     H = h_scr.shape[-1]
     B = half
-    rec_f = jnp.dot(h_scr[0:B], whhf_ref[:], preferred_element_type=jnp.float32)
-    rec_b = jnp.dot(h_scr[B:], whhb_ref[:], preferred_element_type=jnp.float32)
-    gates = xp_ref[0] + jnp.concatenate([rec_f, rec_b], axis=0)
+    h_mxu = h_scr[:].astype(whhf_ref.dtype)
+    rec_f = jnp.dot(h_mxu[0:B], whhf_ref[:], preferred_element_type=jnp.float32)
+    rec_b = jnp.dot(h_mxu[B:], whhb_ref[:], preferred_element_type=jnp.float32)
+    gates = xp_ref[0].astype(jnp.float32) + jnp.concatenate([rec_f, rec_b], axis=0)
     i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
     f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
     g = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -288,10 +299,7 @@ def _fwd2(xp, whh_f, whh_b, h0, c0):
             pltpu.VMEM((B2, H), jnp.float32),
         ],
         interpret=not pallas_lstm_available(),
-    )(
-        xp.astype(jnp.float32), whh_f.astype(jnp.float32),
-        whh_b.astype(jnp.float32), h0.astype(jnp.float32), c0.astype(jnp.float32),
-    )
+    )(xp, whh_f, whh_b, h0.astype(jnp.float32), c0.astype(jnp.float32))
 
 
 def _bwd2_kernel(
@@ -335,23 +343,25 @@ def _bwd2_kernel(
     dgo = do * o * (1.0 - o)
     dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)  # [2B, 4H]
 
-    dxp_ref[0] = dgates
+    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
+    dgates_mxu = dgates.astype(whhf_ref.dtype)
+    h_prev_mxu = h_prev.astype(whhf_ref.dtype)
     dh_f = jax.lax.dot_general(
-        dgates[0:B], whhf_ref[:], (((1,), (1,)), ((), ())),
+        dgates_mxu[0:B], whhf_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dh_b = jax.lax.dot_general(
-        dgates[B:], whhb_ref[:], (((1,), (1,)), ((), ())),
+        dgates_mxu[B:], whhb_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dh_scr[:] = jnp.concatenate([dh_f, dh_b], axis=0)
     dc_scr[:] = dc_prev
     dwf_scr[:] += jax.lax.dot_general(
-        h_prev[0:B], dgates[0:B], (((0,), (0,)), ((), ())),
+        h_prev_mxu[0:B], dgates_mxu[0:B], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dwb_scr[:] += jax.lax.dot_general(
-        h_prev[B:], dgates[B:], (((0,), (0,)), ((), ())),
+        h_prev_mxu[B:], dgates_mxu[B:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -361,7 +371,7 @@ def _bwd2_kernel(
         dwb_ref[:] = dwb_scr[:]
 
 
-def _bwd2(whh_f, whh_b, gates, cs_prev, hs_prev, dhs):
+def _bwd2(whh_f, whh_b, gates, cs_prev, hs_prev, dhs, dxp_dtype=jnp.float32):
     T, B2, G = gates.shape
     H = G // 4
     rev = lambda t: (T - 1 - t, 0, 0)
@@ -382,7 +392,7 @@ def _bwd2(whh_f, whh_b, gates, cs_prev, hs_prev, dhs):
             pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B2, G), jnp.float32),
+            jax.ShapeDtypeStruct((T, B2, G), dxp_dtype),
             jax.ShapeDtypeStruct((H, G), jnp.float32),
             jax.ShapeDtypeStruct((H, G), jnp.float32),
         ),
@@ -393,10 +403,7 @@ def _bwd2(whh_f, whh_b, gates, cs_prev, hs_prev, dhs):
             pltpu.VMEM((H, G), jnp.float32),
         ],
         interpret=not pallas_lstm_available(),
-    )(
-        whh_f.astype(jnp.float32), whh_b.astype(jnp.float32),
-        gates, cs_prev, hs_prev, dhs,
-    )
+    )(whh_f, whh_b, gates, cs_prev, hs_prev, dhs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -427,12 +434,15 @@ def _fused2_fwd(x_proj_f, x_proj_b, w_hh_f, w_hh_b):
     hs, cs, gates = _fwd2(xcat, w_hh_f, w_hh_b, zeros, zeros)
     out_f = jnp.swapaxes(hs[:, :B], 0, 1).astype(x_proj_f.dtype)
     out_b = jnp.swapaxes(hs[:, B:], 0, 1)[:, ::-1].astype(x_proj_f.dtype)
-    residuals = (w_hh_f, w_hh_b, gates, cs, hs)
+    # dtype carrier: residuals must be JAX types, so a 0-size array stands
+    # in for the primal x dtype the cotangent must come back in
+    residuals = (w_hh_f, w_hh_b, gates, cs, hs, jnp.zeros((0,), x_proj_f.dtype))
     return (out_f, out_b), residuals
 
 
 def _fused2_bwd(residuals, grads):
-    w_hh_f, w_hh_b, gates, cs, hs = residuals
+    w_hh_f, w_hh_b, gates, cs, hs, x_dtype_carrier = residuals
+    x_dtype = x_dtype_carrier.dtype
     d_out_f, d_out_b = grads
     T, B2, H = hs.shape
     B = B2 // 2
@@ -446,7 +456,9 @@ def _fused2_bwd(residuals, grads):
     zeros = jnp.zeros((B2, H), jnp.float32)
     cs_prev = jnp.concatenate([zeros[None], cs[:-1]], axis=0)
     hs_prev = jnp.concatenate([zeros[None], hs[:-1]], axis=0)
-    dxp, dwf, dwb = _bwd2(w_hh_f, w_hh_b, gates, cs_prev, hs_prev, dhs)
+    dxp, dwf, dwb = _bwd2(
+        w_hh_f, w_hh_b, gates, cs_prev, hs_prev, dhs, dxp_dtype=x_dtype
+    )
     dxp_f = jnp.swapaxes(dxp[:, :B], 0, 1)
     dxp_b = jnp.swapaxes(dxp[:, B:], 0, 1)[:, ::-1]
     return dxp_f, dxp_b, dwf.astype(w_hh_f.dtype), dwb.astype(w_hh_b.dtype)
@@ -473,12 +485,13 @@ def _fused_fwd(x_proj, w_hh, h0, c0):
     h_final = hs[-1]
     c_final = cs[-1]
     result = (outputs, (h_final.astype(x_proj.dtype), c_final.astype(x_proj.dtype)))
-    residuals = (w_hh, gates, cs, hs, h0, c0)
+    residuals = (w_hh, gates, cs, hs, h0, c0, jnp.zeros((0,), x_proj.dtype))
     return result, residuals
 
 
 def _fused_bwd(residuals, grads):
-    w_hh, gates, cs, hs, h0, c0 = residuals
+    w_hh, gates, cs, hs, h0, c0, x_dtype_carrier = residuals
+    x_dtype = x_dtype_carrier.dtype
     d_outputs, (d_hfinal, d_cfinal) = grads
     dhs = jnp.swapaxes(d_outputs.astype(jnp.float32), 0, 1)  # [T, B, H]
     # cs/hs shifted: step t needs c_{t-1}, h_{t-1}
@@ -487,9 +500,10 @@ def _fused_bwd(residuals, grads):
     dxp, dwhh, dh0, dc0 = _bwd(
         w_hh, gates, cs_prev, hs_prev, dhs,
         d_hfinal.astype(jnp.float32), d_cfinal.astype(jnp.float32),
+        dxp_dtype=x_dtype,
     )
     dx_proj = jnp.swapaxes(dxp, 0, 1)
-    return dx_proj, dwhh.astype(w_hh.dtype), dh0, dc0
+    return dx_proj, dwhh.astype(w_hh.dtype), dh0.astype(h0.dtype), dc0.astype(c0.dtype)
 
 
 fused_lstm_scan.defvjp(_fused_fwd, _fused_bwd)
