@@ -93,18 +93,23 @@ class _FoldedConv(nn.Module):
 
 
 class _FoldedBatchNorm(nn.Module):
-    """`nn.BatchNorm`-equivalent statistics computed in folded layout
+    """`nn.BatchNorm`-equivalent statistics + the block activation, fused
     (same variable names: params scale/bias, batch_stats mean/var, all
     canonical [C]); exact because the zero pad column is excluded via the
-    real element count (`ops/conv_fold.py::folded_batch_norm`)."""
+    real element count.  Train mode goes through the custom-VJP
+    `ops/bn_act.py` op whose backward is two fused HBM passes instead of
+    autodiff's saved-transcendental chain (the conv stack's dominant
+    non-MXU cost — see that module's docstring for measurements)."""
 
     num_freq: int
+    act: str
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, xf: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
-        from voicesplit_tpu.ops.conv_fold import FOLD, folded_batch_norm
+        from voicesplit_tpu.ops.bn_act import folded_bn_act_eval, folded_bn_act_train
+        from voicesplit_tpu.ops.conv_fold import FOLD
 
         C = xf.shape[-1] // FOLD
         scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
@@ -113,13 +118,20 @@ class _FoldedBatchNorm(nn.Module):
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((C,), jnp.float32))
-        y, new_mean, new_var = folded_batch_norm(
-            xf, self.num_freq, scale, bias, ra_mean.value, ra_var.value,
-            use_running_average, self.momentum, self.epsilon,
+        if use_running_average:
+            return folded_bn_act_eval(
+                xf, scale, bias, ra_mean.value, ra_var.value,
+                self.num_freq, self.act, self.epsilon,
+            )
+        y, mean, var = folded_bn_act_train(
+            xf, scale, bias, self.num_freq, self.act, self.epsilon
         )
-        if not use_running_average and not self.is_initializing():
-            ra_mean.value = new_mean
-            ra_var.value = new_var
+        if not self.is_initializing():
+            m = self.momentum
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
         return y
 
 
@@ -182,19 +194,16 @@ class ConvBlock(nn.Module):
         from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
 
         if self.folded:
-            from voicesplit_tpu.ops.conv_fold import zero_pad_column
-
             xf = _FoldedConv(
                 self.features, self.kernel, self.dilation,
                 self.compute_dtype, self.param_dtype, name="Conv_0",
             )(x)
-            # garbage at the pad column must not pollute BN statistics
-            xf = zero_pad_column(xf, self.num_freq)
-            xf = _FoldedBatchNorm(self.num_freq, name="BatchNorm_0")(
-                xf, use_running_average=not train)
-            xf = _ACTIVATIONS[self.activation](xf)
-            # ... and must be zero again for the next layer's conv reads
-            return zero_pad_column(xf, self.num_freq)
+            # fused BN+act zeroes the pad column on read (conv garbage
+            # must not pollute statistics) and emits it zero for the
+            # next layer's conv reads
+            return _FoldedBatchNorm(
+                self.num_freq, self.activation, name="BatchNorm_0"
+            )(xf, use_running_average=not train)
         if tapsum_conv_enabled():
             x = _CustomConv(
                 self.features, self.kernel, self.dilation,
