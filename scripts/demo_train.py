@@ -1,0 +1,151 @@
+"""End-to-end convergence demo on the reference's committed demo audios.
+
+Builds a speaker-per-directory corpus from the reference repo's
+`datasets/LibriSpeech/audios_demo/clean/` wavs (the files Google shipped
+with the VoiceFilter demo — real speech, one utterance + its normalized
+variant per speaker), trains the flagship VoiceSplit + SI-SNR config on
+fresh on-the-fly 2-speaker mixtures, and reports SI-SNRi (SI-SNR of the
+separated estimate minus SI-SNR of the raw mixture, both against the
+clean target) on a held-out batch before and after training.
+
+This is the feasible in-round proxy for the reference's Exp-5 quality
+run (SURVEY.md §6: ~2 weeks on 4×V100) — it demonstrates the whole
+pipeline learns: STFT → mask net → iSTFT → SI-SNR loss → Adam on real
+speech, on the TPU, with the production input pipeline.
+
+Usage: PYTHONPATH=. python scripts/demo_train.py [--steps 300] [--out logs/demo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+DEMO_CLEAN = "/root/reference/datasets/LibriSpeech/audios_demo/clean"
+
+
+def build_corpus(out_dir: str) -> str:
+    """clean/<spk>-<chap>-<utt>[-norm].wav → corpus/<spk>/<file>.wav."""
+    corpus = os.path.join(out_dir, "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    for f in sorted(os.listdir(DEMO_CLEAN)):
+        if not f.endswith(".wav"):
+            continue
+        spk = f.split("-")[0]
+        d = os.path.join(corpus, spk)
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, f)
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(DEMO_CLEAN, f), dst)
+    return corpus
+
+
+def main():
+    ap_args = argparse.ArgumentParser()
+    ap_args.add_argument("--steps", type=int, default=300)
+    ap_args.add_argument("--batch_size", type=int, default=16)
+    ap_args.add_argument("--lr", type=float, default=None,
+                         help="override config learning rate (reference default 1e-2)")
+    ap_args.add_argument("--out", default="logs/demo_train")
+    args = ap_args.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.config import Config
+    from voicesplit_tpu.data.online import OnlineMixIterator, discover_utterances
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+    from voicesplit_tpu.losses import si_snr
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.train import (
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    corpus = build_corpus(args.out)
+    speakers = discover_utterances(corpus, min_duration=3.0)
+    print(f"corpus: {len(speakers)} speakers (≥3 s after trim)", flush=True)
+
+    c = Config()  # flagship: voicesplit + si_snr
+    c.train_config.batch_size = args.batch_size
+    if args.lr is not None:
+        c.train_config.learning_rate = args.lr
+    ap = AudioProcessor(c.audio)
+    model = make_masknet(c)
+    tx = make_optimizer(c)
+    B = args.batch_size
+    L = int(ap.sample_rate * c.audio.audio_len)
+    T = ap.frames_for(L)
+
+    state = create_train_state(c, model, jax.random.PRNGKey(0), (B, T, ap.num_freq), tx)
+    train_step = make_train_step(c, model, ap, tx)
+    eval_step = make_eval_step(c, model, ap)
+
+    train_it = OnlineMixIterator(
+        speakers, batch_size=B, sample_rate=ap.sample_rate,
+        audio_len=c.audio.audio_len, seed=17, items_per_epoch=256,
+    )
+    # held-out mixtures: a different seed ⇒ different pairings/crops
+    eval_it = OnlineMixIterator(
+        speakers, batch_size=B, sample_rate=ap.sample_rate,
+        audio_len=c.audio.audio_len, seed=977, items_per_epoch=256,
+    )
+    eval_batch = {k: jax.device_put(v) for k, v in next(eval_it).items()}
+
+    def si_snri(params, batch_stats):
+        m = eval_step(params, batch_stats, eval_batch)
+        est = m["si_snr"]  # SI-SNR(est, target) [B]
+        L_eval = eval_batch["target_wav"].shape[-1]
+        base = si_snr(eval_batch["mixed_wav"][..., :L_eval],
+                      eval_batch["target_wav"])
+        return float(jax.device_get(jnp.mean(est - base)))
+
+    snri_0 = si_snri(state.params, state.batch_stats)
+    print(f"step 0: held-out SI-SNRi {snri_0:+.3f} dB", flush=True)
+
+    from voicesplit_tpu.data.prefetch import DevicePrefetcher
+
+    curve = []
+    t0 = time.time()
+    prefetch = DevicePrefetcher(train_it, depth=3)
+    for step in range(1, args.steps + 1):
+        batch = next(prefetch)
+        state, metrics = train_step(state, batch)
+        if step % 50 == 0 or step == args.steps:
+            m = jax.device_get(metrics)
+            loss, gn = float(m["loss"]), float(m["grad_norm"])
+            snri = si_snri(state.params, state.batch_stats)
+            curve.append({"step": step, "loss": loss, "si_snri_db": snri,
+                          "grad_norm": gn})
+            print(f"step {step}: loss {loss:+.3f}  grad_norm {gn:8.2f}  "
+                  f"held-out SI-SNRi {snri:+.3f} dB", flush=True)
+    dt = time.time() - t0
+
+    report = {
+        "config": "voicesplit + si_snr (flagship)",
+        "n_speakers": len(speakers),
+        "steps": args.steps,
+        "batch_size": B,
+        "si_snri_start_db": snri_0,
+        "si_snri_end_db": curve[-1]["si_snri_db"],
+        "curve": curve,
+        "wall_s": round(dt, 1),
+        "audio_s_per_s": round(B * c.audio.audio_len * args.steps / dt, 1),
+    }
+    path = os.path.join(args.out, "report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report → {path}", flush=True)
+    print(json.dumps({k: v for k, v in report.items() if k != "curve"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

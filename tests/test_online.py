@@ -33,6 +33,22 @@ def test_discover(corpus):
     assert all(len(v) == 3 for v in spk.values())
 
 
+def test_discover_min_duration(corpus, tmp_path):
+    # corpus fixture wavs are 4 s sine (no silence): a 3 s floor keeps all,
+    # a 5 s floor rejects everything
+    assert len(discover_utterances(corpus, min_duration=3.0)) == 4
+    assert len(discover_utterances(corpus, min_duration=5.0)) == 0
+    # a short utterance is dropped per-file, not per-speaker
+    import shutil
+
+    root = tmp_path / "mixed_len"
+    shutil.copytree(corpus, root)
+    short = (0.1 * np.sin(2 * np.pi * 200 * np.arange(SR) / SR)).astype(np.float32)
+    save_wav_float(short, str(root / "spk0" / "short.wav"), SR)
+    spk = discover_utterances(str(root), min_duration=3.0)
+    assert len(spk["spk0"]) == 3  # the 1 s clip was filtered out
+
+
 def test_batches_and_shapes(corpus):
     it = OnlineMixIterator(discover_utterances(corpus), batch_size=2, audio_len=2.0)
     b = next(it)

@@ -27,11 +27,25 @@ from voicesplit_tpu.data.mixer import mix_overlap
 from voicesplit_tpu.dsp.audio_io import load_wav
 
 
-def discover_utterances(root: str, min_bytes: int = 1000) -> Dict[str, List[str]]:
+def discover_utterances(
+    root: str,
+    min_bytes: int = 1000,
+    min_duration: Optional[float] = None,
+    sample_rate: int = 16000,
+    trim_top_db: float = 20.0,
+) -> Dict[str, List[str]]:
     """Speaker → wav paths for two common layouts:
 
     - LibriSpeech: ``root/<spk>/<chapter>/*.wav``
     - speaker-per-dir (VCTK-ish): ``root/<spk>/*.wav``
+
+    ``min_duration`` (seconds, opt-in) additionally loads each wav and
+    keeps only utterances at least that long AFTER silence trimming —
+    the same trim the mixer applies (`mix_overlap`, reference
+    `generic_utils.py:308-321`), so every surviving utterance is
+    guaranteed mixable and the iterator's retry loop can't exhaust on a
+    short-clip-heavy corpus (the VCTK CSV generator makes the same <3 s
+    rejection offline, reference `scripts/generate_VCTK_dev_csv.py`).
     """
     speakers: Dict[str, List[str]] = {}
     for spk in sorted(os.listdir(root)):
@@ -42,6 +56,15 @@ def discover_utterances(root: str, min_bytes: int = 1000) -> Dict[str, List[str]
             glob(os.path.join(spk_dir, "*", "*.wav"))
         )
         wavs = [w for w in wavs if os.path.getsize(w) >= min_bytes]
+        if min_duration is not None:
+            from voicesplit_tpu.dsp.audio_io import load_wav, trim_silence
+
+            def long_enough(path: str) -> bool:
+                wav = load_wav(path, sample_rate)
+                trimmed, _ = trim_silence(wav, top_db=trim_top_db)
+                return trimmed.shape[0] >= int(min_duration * sample_rate)
+
+            wavs = [w for w in wavs if long_enough(w)]
         if len(wavs) >= 2:  # need clean + emb reference from the same speaker
             speakers[spk] = wavs
     return speakers

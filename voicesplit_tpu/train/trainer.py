@@ -50,6 +50,7 @@ class Trainer:
         train_loader: Optional[BatchIterator] = None,
         eval_loader: Optional[BatchIterator] = None,
         enable_tb: bool = True,
+        prefetch_depth: int = 2,
     ):
         self.config = config
         self.log_dir = log_dir or config.train_config.logs_path
@@ -120,6 +121,9 @@ class Trainer:
             B * config.audio.audio_len * max(1, jax.process_count())
         )
         self._n_chips = len(jax.devices())
+        self._prefetch_depth = prefetch_depth
+        self._prefetch = None  # built lazily at fit() so checkpoint
+        # restore above can rewind the loader before readahead starts
 
     # ------------------------------------------------------------------
 
@@ -135,6 +139,14 @@ class Trainer:
     ) -> Dict[str, float]:
         """Run the epoch loop; returns the last metrics."""
         c = self.config.train_config
+        if self._prefetch is None and self._prefetch_depth > 0:
+            from voicesplit_tpu.data.prefetch import DevicePrefetcher
+
+            # assembles + device-places batches on a background thread so
+            # host work and the H2D transfer overlap the device step
+            self._prefetch = DevicePrefetcher(
+                self.train_loader, depth=self._prefetch_depth, place=self._put
+            )
         step = int(jax.device_get(self.state.step))
         last: Dict[str, float] = {}
         t_window = time.time()
@@ -148,7 +160,10 @@ class Trainer:
                 )
                 print(f" > Eval @ step {step}: {m}")
             for _ in range(self.train_loader.batches_per_epoch()):
-                batch = self._put(next(self.train_loader))
+                if self._prefetch is not None:
+                    batch = next(self._prefetch)
+                else:
+                    batch = self._put(next(self.train_loader))
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 steps_in_window += 1
@@ -171,8 +186,12 @@ class Trainer:
                                              audio_sec_per_sec_per_chip=last["audio_sec_per_sec_per_chip"])
 
                 if step % c.checkpoint_interval == 0 and jax.process_index() == 0:
+                    data_state = (
+                        self._prefetch.state if self._prefetch is not None
+                        else self.train_loader.state
+                    )
                     path = save_checkpoint(
-                        self.log_dir, self.state, self.config, self.train_loader.state
+                        self.log_dir, self.state, self.config, data_state
                     )
                     print(f"Saved checkpoint to: {path}")
                     m = validate(
