@@ -28,7 +28,10 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
-def run_bench(batch_size: int = 16, n_warmup: int = 3, n_steps: int = 20):
+def run_bench(batch_size: int = 32, n_warmup: int = 3, n_steps: int = 20):
+    # B=32 is the measured best-throughput point on v5e-1 (B=16: 393,
+    # B=32: 403 audio-s/s; B=64 OOMs at compile — docs/RESULTS.md);
+    # the recorded baseline predates the sweep and is B=16.
     import jax
 
     from voicesplit_tpu.config import Config

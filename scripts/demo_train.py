@@ -51,8 +51,18 @@ def main():
     ap_args.add_argument("--batch_size", type=int, default=16)
     ap_args.add_argument("--lr", type=float, default=None,
                          help="override config learning rate (reference default 1e-2)")
+    ap_args.add_argument("--emb", default="pseudo", choices=("pseudo", "spectral"),
+                         help="'spectral' = signal-derived d-vectors (open-set capable)")
+    ap_args.add_argument("--holdout", type=int, default=0,
+                         help="hold out the last N speakers entirely for eval "
+                              "(open-set: unseen speakers; requires --emb spectral "
+                              "and N >= 2)")
     ap_args.add_argument("--out", default="logs/demo_train")
     args = ap_args.parse_args()
+
+    if args.holdout and args.emb != "spectral":
+        ap_args.error("--holdout needs --emb spectral (pseudo d-vectors are "
+                      "per-speaker identity tokens and cannot generalize)")
 
     import jax
     import jax.numpy as jnp
@@ -74,6 +84,18 @@ def main():
     speakers = discover_utterances(corpus, min_duration=3.0)
     print(f"corpus: {len(speakers)} speakers (≥3 s after trim)", flush=True)
 
+    if args.holdout:
+        ids = sorted(speakers)
+        if args.holdout < 2 or args.holdout > len(ids) - 2:
+            raise SystemExit(f"--holdout must be in [2, {len(ids) - 2}]")
+        eval_ids = ids[-args.holdout:]
+        train_speakers = {s: speakers[s] for s in ids[: -args.holdout]}
+        eval_speakers = {s: speakers[s] for s in eval_ids}
+        print(f"open-set split: train {len(train_speakers)} / "
+              f"held-out {eval_ids}", flush=True)
+    else:
+        train_speakers = eval_speakers = speakers
+
     c = Config()  # flagship: voicesplit + si_snr
     c.train_config.batch_size = args.batch_size
     if args.lr is not None:
@@ -90,13 +112,16 @@ def main():
     eval_step = make_eval_step(c, model, ap)
 
     train_it = OnlineMixIterator(
-        speakers, batch_size=B, sample_rate=ap.sample_rate,
+        train_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=17, items_per_epoch=256,
+        emb_mode=args.emb,
     )
-    # held-out mixtures: a different seed ⇒ different pairings/crops
+    # held-out mixtures: disjoint speakers with --holdout (open-set),
+    # otherwise a different seed ⇒ different pairings/crops (closed-set)
     eval_it = OnlineMixIterator(
-        speakers, batch_size=B, sample_rate=ap.sample_rate,
+        eval_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=977, items_per_epoch=256,
+        emb_mode=args.emb,
     )
     eval_batch = {k: jax.device_put(v) for k, v in next(eval_it).items()}
 
@@ -131,6 +156,11 @@ def main():
 
     report = {
         "config": "voicesplit + si_snr (flagship)",
+        "emb_mode": args.emb,
+        "eval_protocol": (
+            f"open-set: {args.holdout} held-out speakers" if args.holdout
+            else "closed-set: unseen pairings/crops, same speakers"
+        ),
         "n_speakers": len(speakers),
         "steps": args.steps,
         "batch_size": B,

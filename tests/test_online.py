@@ -97,3 +97,50 @@ def test_pseudo_embeddings_stable(corpus):
     a = OnlineMixIterator(spk, 2, audio_len=2.0, seed=5)
     b = OnlineMixIterator(spk, 2, audio_len=2.0, seed=5)
     np.testing.assert_array_equal(next(a)["emb"], next(b)["emb"])
+
+
+def test_spectral_emb_mode(corpus):
+    spk = discover_utterances(corpus)
+    it = OnlineMixIterator(spk, batch_size=4, sample_rate=SR, seed=5,
+                           emb_mode="spectral")
+    b = next(it)
+    assert b["emb"].shape == (4, 256)
+    np.testing.assert_allclose(np.linalg.norm(b["emb"], axis=-1), 1.0, atol=1e-5)
+    # deterministic across a fresh iterator
+    it2 = OnlineMixIterator(spk, batch_size=4, sample_rate=SR, seed=5,
+                            emb_mode="spectral")
+    np.testing.assert_array_equal(b["emb"], next(it2)["emb"])
+    # explicit embeddings still take precedence over the spectral fallback
+    fixed = {s: np.full(256, 0.0625, np.float32) for s in spk}
+    it3 = OnlineMixIterator(spk, batch_size=4, sample_rate=SR, seed=5,
+                            emb_mode="spectral", embeddings=fixed)
+    np.testing.assert_array_equal(next(it3)["emb"][0], fixed["spk0"])
+    with pytest.raises(ValueError):
+        OnlineMixIterator(spk, batch_size=4, emb_mode="nope")
+
+
+def test_spectral_dvector_geometry():
+    """Same-timbre utterances cluster; different timbres separate —
+    the property that makes open-set conditioning meaningful."""
+    from voicesplit_tpu.models.speaker_encoder import spectral_dvector
+
+    def shaped_noise(center_hz, seed):
+        r = np.random.default_rng(seed)
+        x = r.standard_normal(SR * 3)
+        X = np.fft.rfft(x)
+        f = np.linspace(0, SR / 2, X.size)
+        X *= np.exp(-(((f - center_hz) / 600.0) ** 2))
+        return np.fft.irfft(X, SR * 3).astype(np.float32)
+
+    a1 = spectral_dvector(shaped_noise(500, 1), SR)
+    a2 = spectral_dvector(shaped_noise(500, 2), SR)
+    b1 = spectral_dvector(shaped_noise(2000, 3), SR)
+    assert a1.shape == (256,) and a1.dtype == np.float32
+    assert abs(np.linalg.norm(a1) - 1.0) < 1e-5
+    same, cross = float(a1 @ a2), float(a1 @ b1)
+    assert same > 0.6                    # same timbre, different noise draw
+    assert cross < 0.3                   # different timbre
+    assert same > cross + 0.4            # separability margin
+    # gain invariance of the envelope features
+    g = spectral_dvector(10.0 * shaped_noise(500, 1), SR)
+    assert float(a1 @ g) > 0.99

@@ -12,6 +12,9 @@ dataset layer filters out.
 Without a checkpoint the encoder runs with random init (useful for
 pipeline smoke tests; pass the reference's pretrained ``embedder.pt``
 for real d-vectors — its torch state_dict is converted automatically).
+``--encoder spectral`` instead computes training-free signal-derived
+d-vectors (`models/speaker_encoder.py::spectral_dvector`) — no
+checkpoint needed, supports unseen speakers.
 """
 
 from __future__ import annotations
@@ -27,6 +30,9 @@ def main(argv=None):
     parser.add_argument("-c", "--config_path", type=str, default=None)
     parser.add_argument("--encoder_checkpoint", type=str, default=None,
                         help="torch GE2E embedder.pt state_dict")
+    parser.add_argument("--encoder", type=str, default="ge2e",
+                        choices=("ge2e", "spectral"),
+                        help="'spectral' = training-free signal-derived d-vectors")
     parser.add_argument("--glob_wav", type=str, default="*-ref_emb.wav")
     parser.add_argument("--out_suffix", type=str, default="-emb.npy")
     args = parser.parse_args(argv)
@@ -44,6 +50,21 @@ def main(argv=None):
 
     config = load_config(args.config_path) if args.config_path else Config()
     ap = make_audio_processor(config)
+
+    if args.encoder == "spectral":
+        from voicesplit_tpu.models.speaker_encoder import spectral_dvector
+
+        files = sorted(glob(os.path.join(args.data_dir, args.glob_wav)))
+        n_ok = 0
+        for path in files:
+            out_path = path.replace(args.glob_wav.replace("*", ""), "") + args.out_suffix
+            wav = ap.load_wav(path)
+            emb = spectral_dvector(wav, ap.sample_rate, emb_dim=config.model.emb_dim)
+            np.save(out_path, emb)
+            n_ok += 1
+        print(f"wrote {n_ok} spectral embeddings in {args.data_dir}")
+        return
+
     encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
     if args.encoder_checkpoint:
         import torch

@@ -91,9 +91,12 @@ class OnlineMixIterator:
     """Fresh 2-speaker mixtures every epoch, batched and fixed-shape.
 
     `embeddings` maps speaker id → d-vector (array or ``.npy``/``.pt``
-    path).  Speakers without an embedding use a deterministic unit-norm
-    pseudo-vector (smoke mode) so the pipeline runs end-to-end before
-    GE2E extraction has happened.
+    path).  Speakers without an embedding fall back per ``emb_mode``:
+    ``"pseudo"`` — a deterministic unit-norm per-speaker random vector
+    (identity token; smoke mode, cannot generalize to unseen speakers);
+    ``"spectral"`` — a training-free signal-derived d-vector of the
+    reference utterance (`models/speaker_encoder.py::spectral_dvector`),
+    which supports open-set (unseen-speaker) conditioning.
     """
 
     def __init__(
@@ -105,6 +108,7 @@ class OnlineMixIterator:
         hop_length: int = 160,
         emb_dim: int = 256,
         embeddings: Optional[Dict[str, "np.ndarray | str"]] = None,
+        emb_mode: str = "pseudo",
         items_per_epoch: Optional[int] = None,
         seed: int = 42,
         shard_id: int = 0,
@@ -121,6 +125,9 @@ class OnlineMixIterator:
         self.audio_len = audio_len
         self.hop_length = hop_length
         self.emb_dim = emb_dim
+        if emb_mode not in ("pseudo", "spectral"):
+            raise ValueError(f"emb_mode must be 'pseudo' or 'spectral', got {emb_mode!r}")
+        self.emb_mode = emb_mode
         self.n_samples = int(sample_rate * audio_len)
         self.n_frames = 1 + (self.n_samples + 2 * 600 - 1200) // hop_length  # info only
         self.embeddings = embeddings or {}
@@ -160,6 +167,23 @@ class OnlineMixIterator:
         self._emb_cache[spk] = emb
         return emb
 
+    def _spectral_embedding(self, path: str) -> np.ndarray:
+        """Signal-derived d-vector of one reference utterance (cached).
+
+        Computed from the UTTERANCE (not the speaker id), so unseen
+        speakers get meaningful conditioning — the VoiceFilter protocol
+        of embedding a separate reference clip of the target speaker.
+        """
+        if path in self._emb_cache:
+            return self._emb_cache[path]
+        from voicesplit_tpu.models.speaker_encoder import spectral_dvector
+
+        emb = spectral_dvector(
+            self._cache.get(path), self.sample_rate, emb_dim=self.emb_dim
+        )
+        self._emb_cache[path] = emb
+        return emb
+
     # -- mixing ---------------------------------------------------------
     def _make_item(self, epoch: int, index: int) -> Dict[str, np.ndarray]:
         base = np.random.default_rng((self._state.seed, epoch, index))
@@ -184,8 +208,12 @@ class OnlineMixIterator:
             if sample is None:
                 continue  # utterance too short — redraw deterministically
             L = self.n_samples
+            if self.emb_mode == "spectral" and tgt_spk not in self.embeddings:
+                emb = self._spectral_embedding(emb_path)
+            else:
+                emb = self._embedding(tgt_spk)
             return {
-                "emb": self._embedding(tgt_spk),
+                "emb": emb,
                 "target_wav": sample.target_wav[:L].astype(np.float32),
                 "mixed_wav": sample.mixed_wav[:L].astype(np.float32),
                 "wav_len": np.int32(L),
