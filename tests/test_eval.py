@@ -67,6 +67,99 @@ def test_sdri():
 
 
 # ---------------------------------------------------------------------------
+# batched on-device SDR / SI-SNRi vs the float64 host path
+# ---------------------------------------------------------------------------
+
+
+def test_sdr_batch_matches_host():
+    from voicesplit_tpu.eval import bss_eval_sdr_batch
+
+    rng = np.random.default_rng(10)
+    N = 16000
+    lens = np.array([N, N - 1234, N - 5000, N], np.int32)
+    refs, ests = [], []
+    for b, n in enumerate(lens):
+        s = _sig(20 + b, N)
+        noise = rng.standard_normal(N)
+        y = s + [0.01, 0.05, 0.2, 0.5][b] * noise
+        s[n:] = 0.0
+        y[n:] = 0.0
+        refs.append(s)
+        ests.append(y)
+    refs = np.stack(refs).astype(np.float32)
+    ests = np.stack(ests).astype(np.float32)
+
+    got = bss_eval_sdr_batch(refs, ests, lens)
+    want = np.array(
+        [bss_eval_sdr(refs[b, : lens[b]], ests[b, : lens[b]]) for b in range(len(lens))]
+    )
+    np.testing.assert_allclose(got, want, atol=0.01)
+
+
+def test_sdr_batch_matches_host_on_real_speech():
+    import os
+
+    base = "/root/reference/datasets/LibriSpeech/audios_demo"
+    if not os.path.isdir(base):
+        pytest.skip("reference demo audios not mounted")
+    import glob
+
+    from voicesplit_tpu.dsp.audio_io import load_wav
+    from voicesplit_tpu.eval import bss_eval_sdr_batch
+
+    clean = sorted(glob.glob(os.path.join(base, "clean", "*.wav")))[:4]
+    assert clean
+    N = 3 * SR
+    refs, ests, lens = [], [], []
+    rng = np.random.default_rng(0)
+    for i, path in enumerate(clean):
+        wav = load_wav(path, SR)[:N]
+        n = len(wav)
+        s = np.zeros(N, np.float32)
+        s[:n] = wav
+        other = load_wav(clean[(i + 1) % len(clean)], SR)[:N]
+        y = s.copy()
+        y[: len(other)] += 0.3 * other  # interference → moderate SDR
+        refs.append(s)
+        ests.append(y)
+        lens.append(n)
+    refs, ests = np.stack(refs), np.stack(ests)
+    lens = np.asarray(lens, np.int32)
+    got = bss_eval_sdr_batch(refs, ests, lens)
+    want = np.array(
+        [bss_eval_sdr(refs[b, : lens[b]], ests[b, : lens[b]]) for b in range(len(lens))]
+    )
+    # fp32 residual noise floor caps resolvable SDR around ~75 dB; in the
+    # range real separation results live in, the paths agree tightly.
+    realistic = want < 40
+    assert realistic.any()
+    np.testing.assert_allclose(got[realistic], want[realistic], atol=0.01)
+    assert (got[~realistic] > 40).all()
+
+
+def test_si_snri_batch_matches_host():
+    from voicesplit_tpu.eval import si_snr_improvement_batch
+
+    N = 16000
+    lens = np.array([N, N - 777], np.int32)
+    tgt = np.stack([_sig(30, N), _sig(31, N)]).astype(np.float32)
+    intf = np.stack([_sig(32, N), _sig(33, N)]).astype(np.float32)
+    for b, n in enumerate(lens):
+        tgt[b, n:] = 0
+        intf[b, n:] = 0
+    mix = tgt + intf
+    est = tgt + 0.1 * intf
+    got = si_snr_improvement_batch(est, tgt, mix, lens)
+    want = np.array(
+        [
+            si_snr_improvement(est[b, : lens[b]], tgt[b, : lens[b]], mix[b, : lens[b]])
+            for b in range(len(lens))
+        ]
+    )
+    np.testing.assert_allclose(got, want, atol=0.01)
+
+
+# ---------------------------------------------------------------------------
 # validation + sweep over a tiny run
 # ---------------------------------------------------------------------------
 
@@ -109,6 +202,22 @@ def test_validate(tiny_run):
     m = validate(eval_step, state.params, state.batch_stats, loader, compute_sdr=True)
     assert np.isfinite(m["loss"]) and np.isfinite(m["si_snr"])
     assert "sdr" in m and "si_snri" in m
+
+
+def test_validate_sdr_backends_agree(tiny_run):
+    """Device-batched SDR/SI-SNRi ≡ host float64 path in validate()."""
+    c, ap, state, eval_step, loader, _ = tiny_run
+    host = validate(
+        eval_step, state.params, state.batch_stats, loader,
+        compute_sdr=True, sdr_backend="host",
+    )
+    dev = validate(
+        eval_step, state.params, state.batch_stats, loader,
+        compute_sdr=True, sdr_backend="device",
+    )
+    assert abs(host["sdr"] - dev["sdr"]) < 0.01
+    assert abs(host["si_snri"] - dev["si_snri"]) < 0.01
+    assert abs(host["loss"] - dev["loss"]) < 1e-6
 
 
 def test_sweep(tiny_run, tmp_path):

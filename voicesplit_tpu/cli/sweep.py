@@ -23,6 +23,10 @@ def main(argv=None):
                         help="batched SI-SNR only (no host-side SDR)")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--max_items", type=int, default=None)
+    parser.add_argument(
+        "--sdr_backend", choices=["auto", "host", "device"], default="auto",
+        help="host = per-item float64 projection; device = batched on-chip",
+    )
     args = parser.parse_args(argv)
 
     from voicesplit_tpu.utils.cache import enable_compile_cache
@@ -50,12 +54,19 @@ def main(argv=None):
     )
     if args.test_dir:
         config.dataset.test_dir = args.test_dir
+    from voicesplit_tpu.eval.validation import _default_sdr_backend
+
+    sdr_backend = args.sdr_backend
+    if sdr_backend == "auto":
+        sdr_backend = _default_sdr_backend()
     if args.batch_size:
         config.test_config.batch_size = args.batch_size
     elif args.fast:
         config.test_config.batch_size = 5  # reference fast sweep default
+    elif sdr_backend == "device":
+        config.test_config.batch_size = 8  # SDR is batched on-chip too
     else:
-        config.test_config.batch_size = 1
+        config.test_config.batch_size = 1  # reference full sweep forces bs=1
 
     ap = make_audio_processor(config)
     model = make_masknet(config)
@@ -68,7 +79,7 @@ def main(argv=None):
     eval_step = make_eval_step(config, model, ap)
     out = sweep_checkpoints(
         args.checkpoints_path, template, eval_step, loader,
-        fast=args.fast, max_items=args.max_items,
+        fast=args.fast, max_items=args.max_items, sdr_backend=sdr_backend,
     )
     print(json.dumps({
         "best_path": out["best_path"],

@@ -21,6 +21,10 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--no_sdr", action="store_true")
     parser.add_argument("--max_items", type=int, default=None)
+    parser.add_argument(
+        "--sdr_backend", choices=["auto", "host", "device"], default="auto",
+        help="host = per-item float64 projection; device = batched on-chip",
+    )
     args = parser.parse_args(argv)
 
     from voicesplit_tpu.utils.cache import enable_compile_cache
@@ -64,6 +68,7 @@ def main(argv=None):
     metrics = validate(
         eval_step, state.params, state.batch_stats, loader,
         compute_sdr=not args.no_sdr, log_sample=False, max_items=args.max_items,
+        sdr_backend=args.sdr_backend,
     )
     print(json.dumps(metrics))
 

@@ -34,6 +34,7 @@ def sweep_checkpoints(
     fast: bool = False,
     max_items: Optional[int] = None,
     out_dir: Optional[str] = None,
+    sdr_backend: str = "auto",
 ) -> Dict:
     """Evaluate every checkpoint in `checkpoint_dir`.
 
@@ -55,6 +56,7 @@ def sweep_checkpoints(
         m = validate(
             eval_step, state.params, state.batch_stats, loader,
             max_items=max_items, compute_sdr=not fast, log_sample=False,
+            sdr_backend=sdr_backend,
         )
         m["path"] = path
         m["step"] = int(payload["step"])

@@ -3,8 +3,12 @@
 Capability of reference `validation()` (`utils/generic_utils.py:476-529`):
 run the mask net over eval items, invert with the mixture phase, score
 with the training criterion and SDR, and push one sample's audio/images
-to the metrics logger.  Here the device work is one jitted batch step;
-only the (CPU-bound) SDR projection runs on host.
+to the metrics logger.  Here the device work is one jitted batch step,
+and with the default "device" SDR backend the BSS_EVAL projection runs
+batched on-chip too — only scalars cross the device→host boundary
+(the estimated waveforms/spectrograms are fetched solely for the one
+logged sample), where the reference pulls every estimate to the CPU
+(`generic_utils.py:499-509`).
 """
 
 from __future__ import annotations
@@ -15,8 +19,17 @@ import jax
 import numpy as np
 
 from voicesplit_tpu.data.dataset import BatchIterator
-from voicesplit_tpu.eval.metrics import bss_eval_sdr, si_snr_improvement
+from voicesplit_tpu.eval.metrics import (
+    _sdr_and_si_snri_batch,
+    bss_eval_sdr,
+    si_snr_improvement,
+)
 from voicesplit_tpu.utils.logging import MetricsLogger
+
+
+def _default_sdr_backend() -> str:
+    """Device-batched SDR on an accelerator, host float64 on CPU."""
+    return "host" if jax.default_backend() == "cpu" else "device"
 
 
 def validate(
@@ -29,8 +42,17 @@ def validate(
     max_items: Optional[int] = None,
     log_sample: bool = True,
     compute_sdr: bool = True,
+    sdr_backend: str = "auto",
 ) -> Dict[str, float]:
-    """Returns mean metrics: loss, si_snr, sdr, si_snri."""
+    """Returns mean metrics: loss, si_snr, sdr, si_snri.
+
+    ``sdr_backend``: "host" = per-item float64 numpy projection (exactly
+    the reference's mir_eval-on-CPU arrangement, `generic_utils.py:509`);
+    "device" = batched jitted projection (`bss_eval_sdr_batch`, <0.01 dB
+    off the host values); "auto" picks "device" on an accelerator.
+    """
+    if sdr_backend == "auto":
+        sdr_backend = _default_sdr_backend()
     losses, snrs, sdrs, snris = [], [], [], []
     n_batches = loader.batches_per_epoch()
     if max_items is not None:
@@ -39,30 +61,45 @@ def validate(
     first_logged = False
     for b in range(n_batches):
         batch = next(loader)
-        out = jax.device_get(eval_step(params, batch_stats, batch))
-        losses.append(float(out["loss"]))
-        snrs.extend(np.asarray(out["si_snr"]).tolist())
+        # Place the batch once; eval_step and the device SDR then share
+        # the same buffers (device_put is a no-op on device arrays).
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
+        out = eval_step(params, batch_stats, batch)
+        losses.append(float(jax.device_get(out["loss"])))
+        snrs.extend(np.asarray(jax.device_get(out["si_snr"])).tolist())
         if compute_sdr:
-            for i in range(batch["target_wav"].shape[0]):
-                n = int(batch["wav_len"][i])
-                est = np.asarray(out["est_wav"][i])[:n]
-                tgt = np.asarray(batch["target_wav"][i])[:n]
-                mix = np.asarray(batch["mixed_wav"][i])[:n]
-                sdrs.append(bss_eval_sdr(tgt, est))
-                snris.append(si_snr_improvement(est, tgt, mix))
+            if sdr_backend == "device":
+                sdr_b, snri_b = _sdr_and_si_snri_batch(
+                    out["est_wav"], batch["target_wav"], batch["mixed_wav"],
+                    batch["wav_len"],
+                )
+                sdrs.extend(np.asarray(jax.device_get(sdr_b)).tolist())
+                snris.extend(np.asarray(jax.device_get(snri_b)).tolist())
+            else:
+                est_all = np.asarray(jax.device_get(out["est_wav"]))
+                wav_len = np.asarray(jax.device_get(batch["wav_len"]))
+                target = np.asarray(jax.device_get(batch["target_wav"]))
+                mixed = np.asarray(jax.device_get(batch["mixed_wav"]))
+                for i in range(target.shape[0]):
+                    n = int(wav_len[i])
+                    est = est_all[i][:n]
+                    tgt = target[i][:n]
+                    mix = mixed[i][:n]
+                    sdrs.append(bss_eval_sdr(tgt, est))
+                    snris.append(si_snr_improvement(est, tgt, mix))
         if logger is not None and log_sample and not first_logged:
             first_logged = True
             logger.log_evaluation(
-                test_loss=float(out["loss"]),
+                test_loss=losses[-1],
                 sdr=float(sdrs[0]) if sdrs else 0.0,
                 step=step,
-                mixed_wav=batch["mixed_wav"][0],
-                target_wav=batch["target_wav"][0],
-                est_wav=np.asarray(out["est_wav"][0]),
-                mixed_spec=np.asarray(out["mixed_spec"][0]),
-                target_spec=np.asarray(out["target_spec"][0]),
-                est_spec=np.asarray(out["est_spec"][0]),
-                est_mask=np.asarray(out["mask"][0]),
+                mixed_wav=np.asarray(jax.device_get(batch["mixed_wav"][0])),
+                target_wav=np.asarray(jax.device_get(batch["target_wav"][0])),
+                est_wav=np.asarray(jax.device_get(out["est_wav"][0])),
+                mixed_spec=np.asarray(jax.device_get(out["mixed_spec"][0])),
+                target_spec=np.asarray(jax.device_get(out["target_spec"][0])),
+                est_spec=np.asarray(jax.device_get(out["est_spec"][0])),
+                est_mask=np.asarray(jax.device_get(out["mask"][0])),
             )
     result = {
         "loss": float(np.mean(losses)) if losses else float("nan"),
