@@ -137,6 +137,22 @@ def test_sdr_batch_matches_host_on_real_speech():
     assert (got[~realistic] > 40).all()
 
 
+def test_sdr_batch_short_signal():
+    """Signals shorter than the 512-tap filter must not crash (taps are
+    capped at the sample count) and should still rank quality sensibly."""
+    from voicesplit_tpu.eval import bss_eval_sdr_batch
+
+    rng = np.random.default_rng(44)
+    N = 400
+    s = _sig(42, N).astype(np.float32)
+    y1 = s + 0.05 * rng.standard_normal(N).astype(np.float32)
+    y2 = s + 0.5 * rng.standard_normal(N).astype(np.float32)
+    got = bss_eval_sdr_batch(np.stack([s, s]), np.stack([y1, y2]),
+                             np.array([N, N], np.int32))
+    assert np.isfinite(got).all()
+    assert got[0] > got[1] > 0
+
+
 def test_si_snri_batch_matches_host():
     from voicesplit_tpu.eval import si_snr_improvement_batch
 
@@ -218,6 +234,43 @@ def test_validate_sdr_backends_agree(tiny_run):
     assert abs(host["sdr"] - dev["sdr"]) < 0.01
     assert abs(host["si_snri"] - dev["si_snri"]) < 0.01
     assert abs(host["loss"] - dev["loss"]) < 1e-6
+
+
+def test_validate_counts_tail_items_and_max_items(tiny_run):
+    """bs=4 over 6 items must score all 6 (padded final batch trimmed via
+    n_valid) and agree with the bs=1 means; max_items counts items."""
+    from voicesplit_tpu.data import BatchIterator
+
+    c, ap, state, eval_step4, loader, _ = tiny_run
+    ds = loader.dataset
+    assert len(ds) == 6
+    l1 = BatchIterator(ds, 1, shuffle=False, drop_last=False, pad_last=True)
+    l4 = BatchIterator(ds, 4, shuffle=False, drop_last=False, pad_last=True)
+    assert l4.batches_per_epoch() == 2
+    m1 = validate(eval_step4, state.params, state.batch_stats, l1,
+                  compute_sdr=True, sdr_backend="host", log_sample=False)
+    m4 = validate(eval_step4, state.params, state.batch_stats, l4,
+                  compute_sdr=True, sdr_backend="host", log_sample=False)
+    # per-item metrics are exact means over all 6 items in both layouts
+    assert abs(m1["sdr"] - m4["sdr"]) < 1e-6
+    assert abs(m1["si_snri"] - m4["si_snri"]) < 1e-6
+    assert abs(m1["si_snr"] - m4["si_snr"]) < 1e-4
+    # max_items caps evaluated ITEMS: 3 items = 3 bs-1 batches
+    m_cap = validate(eval_step4, state.params, state.batch_stats, l1,
+                     compute_sdr=True, sdr_backend="host", log_sample=False,
+                     max_items=3)
+    sdrs = []
+    l1.load_state(type(l1.state)(seed=l1.state.seed))
+    for _ in range(3):
+        b = next(l1)
+        out = jax.device_get(eval_step4(state.params, state.batch_stats, b))
+        n = int(b["wav_len"][0])
+        sdrs.append(
+            __import__("voicesplit_tpu.eval", fromlist=["bss_eval_sdr"]).bss_eval_sdr(
+                np.asarray(b["target_wav"][0])[:n], np.asarray(out["est_wav"][0])[:n]
+            )
+        )
+    assert abs(m_cap["sdr"] - np.mean(sdrs)) < 1e-6
 
 
 def test_sweep(tiny_run, tmp_path):

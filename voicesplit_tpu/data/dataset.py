@@ -174,6 +174,7 @@ class BatchIterator:
         seed: int = 42,
         shard_id: int = 0,
         num_shards: int = 1,
+        pad_last: bool = False,
     ):
         if num_shards > 1 and batch_size % 1 != 0:
             raise ValueError("batch_size must be per-host batch")
@@ -181,6 +182,7 @@ class BatchIterator:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.shard_id = shard_id
         self.num_shards = num_shards
         self._state = IteratorState(seed=seed)
@@ -222,7 +224,15 @@ class BatchIterator:
         idx = order[st.position * self.batch_size : (st.position + 1) * self.batch_size]
         st.position += 1
         items = [self.dataset[int(i)] for i in idx]
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+        n_valid = len(items)
+        if self.pad_last and n_valid < self.batch_size:
+            # Repeat the last item to keep shapes static (one compiled
+            # program per eval); `n_valid` lets consumers trim/weight.
+            items = items + [items[-1]] * (self.batch_size - n_valid)
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        if self.pad_last:
+            batch["n_valid"] = np.int32(n_valid)
+        return batch
 
 
 # ---------------------------------------------------------------------------
@@ -231,12 +241,14 @@ class BatchIterator:
 
 
 def _make(config: Config, ap: AudioProcessor, data_dir: str, batch_size: int,
-          shuffle: bool, seed: int, shard_id: int, num_shards: int) -> BatchIterator:
+          shuffle: bool, seed: int, shard_id: int, num_shards: int,
+          drop_last: bool = True, pad_last: bool = False) -> BatchIterator:
     samples = discover_samples(data_dir, config.dataset.format)
     ds = SeparationDataset(samples, ap, config.audio.audio_len, config.model.emb_dim)
     return BatchIterator(
         ds, batch_size, shuffle=shuffle, seed=seed,
         shard_id=shard_id, num_shards=num_shards,
+        drop_last=drop_last, pad_last=pad_last,
     )
 
 
@@ -252,11 +264,16 @@ def eval_dataloader(config: Config, ap: AudioProcessor) -> BatchIterator:
     return _make(
         config, ap, config.dataset.test_dir, 1,
         shuffle=False, seed=0, shard_id=0, num_shards=1,
+        drop_last=False, pad_last=True,
     )
 
 
 def test_dataloader(config: Config, ap: AudioProcessor) -> BatchIterator:
+    """Eval loaders never drop tail items (the reference evaluates the
+    whole test set at bs=1); the final partial batch is padded to keep
+    compiled shapes static and carries ``n_valid`` for trimming."""
     return _make(
         config, ap, config.dataset.test_dir, config.test_config.batch_size,
         shuffle=False, seed=0, shard_id=0, num_shards=1,
+        drop_last=False, pad_last=True,
     )

@@ -97,6 +97,9 @@ def _sdr_single_jax(s, y, length, filt_len: int, n_fft: int):
     [:length] exactly as the numpy path truncates to n.
     """
     n = s.shape[-1]
+    # Degenerate-shape guard: a filter can't have more taps than samples
+    # (the host path's Toeplitz system would be singular there too).
+    filt_len = min(filt_len, n)
     idx = jnp.arange(n)
     mask = (idx < length).astype(jnp.float32)
     s = s * mask
@@ -108,9 +111,12 @@ def _sdr_single_jax(s, y, length, filt_len: int, n_fft: int):
     c = jnp.fft.irfft(Y * jnp.conj(S), n_fft)[:filt_len]
 
     # Diagonal loading: the numpy path uses 1e-10 relative (float64);
-    # fp32 Cholesky needs a little more to stay SPD on near-singular
-    # speech autocorrelations.  The refinement step below cancels the
-    # bias the loading introduces.
+    # fp32 Cholesky needs more (1e-6) to stay SPD on near-singular
+    # speech autocorrelations.  Note the refinement step below converges
+    # to the LOADED system's solution — it cancels fp32 solve error, not
+    # the loading bias; that bias is what bounds agreement with the
+    # float64 host path to ~0.01 dB (and caps resolvable SDR, see
+    # `bss_eval_sdr_batch`).
     r0 = r[0]
     r = r.at[0].add(1e-6 * jnp.where(r0 > 0, r0, 1.0) + 1e-10)
 
@@ -118,8 +124,10 @@ def _sdr_single_jax(s, y, length, filt_len: int, n_fft: int):
     T = r[lag]
     cho = jax.scipy.linalg.cho_factor(T)
     h = jax.scipy.linalg.cho_solve(cho, c)
-    # one step of iterative refinement (fp32 residual re-solve)
-    h = h + jax.scipy.linalg.cho_solve(cho, c - T @ h)
+    # one step of iterative refinement (fp32 residual re-solve); the
+    # matvec must not be demoted to bf16 passes on TPU (dsp/stft.py:43)
+    hi = jax.lax.Precision.HIGHEST
+    h = h + jax.scipy.linalg.cho_solve(cho, c - jnp.dot(T, h, precision=hi))
 
     H = jnp.fft.rfft(h, n_fft)
     s_target = jnp.fft.irfft(S * H, n_fft)[:n] * mask
@@ -148,13 +156,16 @@ def _si_snri_batch_jax(estimate, target, mixture, lengths):
         mask = (idx < length).astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(mask), 1.0)
 
+        hi = jax.lax.Precision.HIGHEST
+
         def si_snr(x, ref):
             x = (x - jnp.sum(x * mask) / cnt) * mask
             ref = (ref - jnp.sum(ref * mask) / cnt) * mask
-            proj = (jnp.dot(x, ref) / (jnp.dot(ref, ref) + 1e-16)) * ref
+            dot = lambda a, b: jnp.dot(a, b, precision=hi)  # noqa: E731
+            proj = (dot(x, ref) / (dot(ref, ref) + 1e-16)) * ref
             noise = x - proj
             return 10.0 * jnp.log10(
-                jnp.dot(proj, proj) / (jnp.dot(noise, noise) + 1e-16) + 1e-16
+                dot(proj, proj) / (dot(noise, noise) + 1e-16) + 1e-16
             )
 
         return si_snr(e, t) - si_snr(m, t)

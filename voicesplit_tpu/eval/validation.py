@@ -50,37 +50,54 @@ def validate(
     the reference's mir_eval-on-CPU arrangement, `generic_utils.py:509`);
     "device" = batched jitted projection (`bss_eval_sdr_batch`, <0.01 dB
     off the host values); "auto" picks "device" on an accelerator.
+
+    ``max_items`` caps the number of evaluated ITEMS (not batches).
+    Per-item metrics (si_snr/sdr/si_snri) exclude the loader's pad
+    duplicates exactly; the scalar loss is a per-batch mean weighted by
+    true item count, so a padded final batch contributes its duplicated
+    item's loss with slight extra weight inside that one batch mean.
     """
     if sdr_backend == "auto":
         sdr_backend = _default_sdr_backend()
-    losses, snrs, sdrs, snris = [], [], [], []
+    losses, loss_weights, snrs, sdrs, snris = [], [], [], [], []
     n_batches = loader.batches_per_epoch()
     if max_items is not None:
-        n_batches = min(n_batches, max_items)
+        n_batches = min(n_batches, -(-max_items // loader.batch_size))
     loader.load_state(type(loader.state)(seed=loader.state.seed))  # rewind
     first_logged = False
+    n_seen = 0
     for b in range(n_batches):
-        batch = next(loader)
+        host_batch = next(loader)
+        # Valid-item count: the loader pads the final partial batch to
+        # keep compiled shapes static (`pad_last`); padded duplicates are
+        # trimmed from all per-item metrics and loss weighting below.
+        n_valid = int(host_batch.get("n_valid", loader.batch_size))
+        if max_items is not None:
+            n_valid = min(n_valid, max_items - n_seen)
+        n_seen += n_valid
         # Place the batch once; eval_step and the device SDR then share
         # the same buffers (device_put is a no-op on device arrays).
-        batch = {k: jax.device_put(v) for k, v in batch.items()}
+        batch = {k: jax.device_put(v) for k, v in host_batch.items()}
         out = eval_step(params, batch_stats, batch)
         losses.append(float(jax.device_get(out["loss"])))
-        snrs.extend(np.asarray(jax.device_get(out["si_snr"])).tolist())
+        loss_weights.append(n_valid)
+        snrs.extend(np.asarray(jax.device_get(out["si_snr"]))[:n_valid].tolist())
         if compute_sdr:
             if sdr_backend == "device":
                 sdr_b, snri_b = _sdr_and_si_snri_batch(
                     out["est_wav"], batch["target_wav"], batch["mixed_wav"],
                     batch["wav_len"],
                 )
-                sdrs.extend(np.asarray(jax.device_get(sdr_b)).tolist())
-                snris.extend(np.asarray(jax.device_get(snri_b)).tolist())
+                sdrs.extend(np.asarray(jax.device_get(sdr_b))[:n_valid].tolist())
+                snris.extend(np.asarray(jax.device_get(snri_b))[:n_valid].tolist())
             else:
+                # host path: waveforms come straight from the loader's
+                # numpy arrays; only the estimate crosses device→host
                 est_all = np.asarray(jax.device_get(out["est_wav"]))
-                wav_len = np.asarray(jax.device_get(batch["wav_len"]))
-                target = np.asarray(jax.device_get(batch["target_wav"]))
-                mixed = np.asarray(jax.device_get(batch["mixed_wav"]))
-                for i in range(target.shape[0]):
+                wav_len = np.asarray(host_batch["wav_len"])
+                target = np.asarray(host_batch["target_wav"])
+                mixed = np.asarray(host_batch["mixed_wav"])
+                for i in range(n_valid):
                     n = int(wav_len[i])
                     est = est_all[i][:n]
                     tgt = target[i][:n]
@@ -93,16 +110,18 @@ def validate(
                 test_loss=losses[-1],
                 sdr=float(sdrs[0]) if sdrs else 0.0,
                 step=step,
-                mixed_wav=np.asarray(jax.device_get(batch["mixed_wav"][0])),
-                target_wav=np.asarray(jax.device_get(batch["target_wav"][0])),
+                mixed_wav=np.asarray(host_batch["mixed_wav"][0]),
+                target_wav=np.asarray(host_batch["target_wav"][0]),
                 est_wav=np.asarray(jax.device_get(out["est_wav"][0])),
                 mixed_spec=np.asarray(jax.device_get(out["mixed_spec"][0])),
                 target_spec=np.asarray(jax.device_get(out["target_spec"][0])),
                 est_spec=np.asarray(jax.device_get(out["est_spec"][0])),
                 est_mask=np.asarray(jax.device_get(out["mask"][0])),
             )
+        if max_items is not None and n_seen >= max_items:
+            break
     result = {
-        "loss": float(np.mean(losses)) if losses else float("nan"),
+        "loss": float(np.average(losses, weights=loss_weights)) if losses else float("nan"),
         "si_snr": float(np.mean(snrs)) if snrs else float("nan"),
     }
     if compute_sdr and sdrs:
