@@ -86,4 +86,15 @@ new_state, metrics = step(state, batch)
 loss = float(jax.device_get(metrics)["loss"])
 assert np.isfinite(loss), loss
 assert int(jax.device_get(new_state.step)) == 1
+
+# Checkpoint/eval path: EVERY process gathers a host-local copy of the
+# sharded state (collective — this is what Trainer._host_copy does so
+# that process-0-gated checkpointing/eval cannot deadlock the others).
+from jax.experimental import multihost_utils
+
+host_state = multihost_utils.process_allgather(new_state, tiled=True)
+leaves = jax.tree_util.tree_leaves(host_state.params)
+ref_leaves = jax.tree_util.tree_leaves(new_state.params)
+assert all(h.shape == r.shape for h, r in zip(leaves, ref_leaves))
+assert all(np.isfinite(x).all() for x in leaves)
 print(f"RESULT {pid} loss={loss:.10f}", flush=True)

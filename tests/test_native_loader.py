@@ -66,3 +66,69 @@ def test_factory_prefers_native(ds):
     assert isinstance(it, NativeBatchIterator)
     it2 = make_train_iterator(ds, 2, prefer_native=False)
     assert isinstance(it2, BatchIterator)
+
+
+def test_native_errors_on_wrong_sample_rate(ds, tmp_path):
+    """Data errors must be loud: a wav at the wrong rate raises instead of
+    silently feeding mis-cropped audio (the loader does not resample)."""
+    import shutil
+
+    from voicesplit_tpu.dsp.audio_io import save_wav
+
+    d = str(tmp_path / "bad")
+    shutil.copytree(ds.samples[0].target_wav.rsplit("/", 1)[0], d)
+    c = Config()
+    ap = AudioProcessor(c.audio)
+    bad = SeparationDataset(discover_samples(d, c.dataset.format), ap, 1.0)
+    # rewrite one wav at 22.05 kHz
+    save_wav(np.zeros(22050, np.float32), bad.samples[0].mixed_wav, 22050)
+    it = NativeBatchIterator(bad, 2, shuffle=False, seed=0)
+    with pytest.raises(RuntimeError, match="sample rate"):
+        for _ in range(it.batches_per_epoch()):
+            next(it)
+
+
+def test_native_errors_on_corrupt_embedding(ds, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "bademb")
+    shutil.copytree(ds.samples[0].target_wav.rsplit("/", 1)[0], d)
+    c = Config()
+    ap = AudioProcessor(c.audio)
+    bad = SeparationDataset(discover_samples(d, c.dataset.format), ap, 1.0)
+    with open(bad.samples[0].emb, "wb") as f:
+        f.write(b"not an npy file")
+    it = NativeBatchIterator(bad, 2, shuffle=False, seed=0)
+    with pytest.raises(RuntimeError, match="embedding"):
+        for _ in range(it.batches_per_epoch()):
+            next(it)
+
+
+def test_native_reads_pt_embeddings(ds, tmp_path):
+    """Reference-format datasets ship torch *-emb.pt d-vectors; the native
+    path must feed their true values (converted to cached .npy), never
+    silent zeros."""
+    torch = pytest.importorskip("torch")
+    import shutil
+
+    d = str(tmp_path / "ptemb")
+    shutil.copytree(ds.samples[0].target_wav.rsplit("/", 1)[0], d)
+    c = Config()
+    ap = AudioProcessor(c.audio)
+    tmp_ds = SeparationDataset(discover_samples(d, c.dataset.format), ap, 1.0)
+    rng = np.random.default_rng(0)
+    want = {}
+    for s in tmp_ds.samples:
+        vec = rng.standard_normal(256).astype(np.float32)
+        pt_path = s.emb.rsplit(".", 1)[0] + ".pt"
+        torch.save(torch.from_numpy(vec), pt_path)
+        import os
+
+        os.remove(s.emb)
+        want[pt_path] = vec
+    bad = SeparationDataset(discover_samples(d, c.dataset.format), ap, 1.0)
+    assert all(s.emb.endswith(".pt") for s in bad.samples)
+    it = NativeBatchIterator(bad, 2, shuffle=False, seed=0)
+    batch = next(it)
+    assert np.abs(batch["emb"]).sum() > 0
+    np.testing.assert_allclose(batch["emb"][0], want[bad.samples[0].emb], atol=1e-6)

@@ -79,5 +79,27 @@ def test_chunk_shape_validated(small_streaming_setup):
 def test_latency_constant(small_streaming_setup):
     c, variables = small_streaming_setup
     sep = StreamingSeparator(c, variables, chunk_frames=40)
-    # ctx*hop + (n_fft - hop) at voicefilter params = 32*160 + 1040
-    assert sep.latency_samples == 32 * 160 + (1200 - 160)
+    # ctx*hop + (n_fft - hop); ctx = one-sided conv receptive field = 65
+    assert sep.latency_samples == 65 * 160 + (1200 - 160)
+
+
+def test_windowed_conv_features_match_full_pass(small_streaming_setup):
+    """conv_context must cover the stack's true receptive field: features
+    of a frame computed from a ±ctx window must EXACTLY equal the
+    full-sequence features (this is what makes streaming ≡ offline on
+    the conv stack; a too-small ctx fails this by ~1e-2)."""
+    c, variables = small_streaming_setup
+    model = make_masknet(c, streaming=True)
+    ctx = model.conv_context
+    T = 2 * ctx + 12
+    rng = np.random.default_rng(7)
+    spec = rng.uniform(0, 1, (1, T + 2 * ctx, 601)).astype(np.float32)
+
+    full = model.apply(variables, jnp.asarray(spec), method=model.conv_features)
+    # middle frame t: compute from its ±ctx window only
+    for t in (ctx, ctx + 5, T + ctx - 1):
+        window = spec[:, t - ctx : t + ctx + 1]
+        feats = model.apply(variables, jnp.asarray(window), method=model.conv_features)
+        np.testing.assert_allclose(
+            np.asarray(feats[:, ctx]), np.asarray(full[:, t]), atol=1e-5
+        )

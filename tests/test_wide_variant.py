@@ -32,7 +32,7 @@ def test_wide_variant_model_parallel_step():
 
     ap = AudioProcessor(c.audio)
     model = make_masknet(c)
-    assert model.conv_context == 32 + 64  # extra block widens the context
+    assert model.conv_context == 65 + 64  # extra block widens the context
     tx = make_optimizer(c)
     L = int(SR * c.audio.audio_len)
     T = ap.frames_for(L)

@@ -53,6 +53,7 @@ def _load_library():
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.vsl_start.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
     lib.vsl_next.restype = ctypes.c_int
@@ -60,8 +61,36 @@ def _load_library():
         ctypes.POINTER(ctypes.c_int32)
     ]
     lib.vsl_destroy.argtypes = [ctypes.c_void_p]
+    lib.vsl_error_count.restype = ctypes.c_int64
+    lib.vsl_error_count.argtypes = [ctypes.c_void_p]
+    lib.vsl_last_error.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return lib
+
+
+def _as_npy_embedding(path: str) -> str:
+    """The C loader parses .npy only; reference-format datasets ship
+    torch ``*-emb.pt`` d-vectors (`utils/dataset.py:20-27`).  Convert
+    those once to a cached .npy sidecar (keyed by absolute path + mtime)
+    instead of silently feeding zeros."""
+    if not path.endswith(".pt"):
+        return path
+    import hashlib
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}".encode()
+    ).hexdigest()
+    cache = os.path.join(_CACHE_DIR, "emb_npy", key + ".npy")
+    if not os.path.exists(cache):
+        import torch
+
+        vec = np.asarray(torch.load(path, map_location="cpu", weights_only=True),
+                         np.float32).reshape(-1)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp{os.getpid()}.npy"  # np.save keeps an .npy name as-is
+        np.save(tmp, vec)
+        os.replace(tmp, cache)
+    return cache
 
 
 def native_loader_available() -> bool:
@@ -100,12 +129,14 @@ class NativeBatchIterator:
 
         samples: List[SampleFiles] = dataset.samples
         n = len(samples)
-        self._emb_arr = (ctypes.c_char_p * n)(*[s.emb.encode() for s in samples])
+        emb_paths = [_as_npy_embedding(s.emb) for s in samples]
+        self._emb_arr = (ctypes.c_char_p * n)(*[p.encode() for p in emb_paths])
         self._tgt_arr = (ctypes.c_char_p * n)(*[s.target_wav.encode() for s in samples])
         self._mix_arr = (ctypes.c_char_p * n)(*[s.mixed_wav.encode() for s in samples])
         self._handle = self._lib.vsl_create(
             self._emb_arr, self._tgt_arr, self._mix_arr, n,
             batch_size, dataset.emb_dim, dataset.n_samples, n_threads, queue_cap,
+            int(dataset.ap.sample_rate),
         )
         self._epoch_running: Optional[int] = None
 
@@ -168,6 +199,14 @@ class NativeBatchIterator:
         )
         if not ok:
             raise RuntimeError("native loader stopped unexpectedly")
+        n_err = self._lib.vsl_error_count(self._handle)
+        if n_err:
+            buf = ctypes.create_string_buffer(1024)
+            self._lib.vsl_last_error(self._handle, buf, len(buf))
+            raise RuntimeError(
+                f"native loader hit {n_err} data error(s); first: "
+                f"{buf.value.decode(errors='replace')}"
+            )
         st.position += 1
         hop = self.dataset.ap.hop_length
         seq = np.minimum(self.dataset.n_frames, 1 + wl // hop).astype(np.int32)

@@ -156,7 +156,15 @@ class OnlineMixIterator:
             return self._emb_cache[spk]
         src = self.embeddings.get(spk)
         if src is None:
-            v = np.random.default_rng(abs(hash(("pseudo-emb", spk))) % 2**32).standard_normal(self.emb_dim)
+            # Stable hash: Python's str hash() is salted per interpreter,
+            # which would break the "same embedding on any host / after
+            # resume" determinism contract of this iterator.
+            import hashlib
+
+            seed = int.from_bytes(
+                hashlib.sha256(f"pseudo-emb:{spk}".encode()).digest()[:4], "little"
+            )
+            v = np.random.default_rng(seed).standard_normal(self.emb_dim)
             emb = (v / np.linalg.norm(v)).astype(np.float32)
         elif isinstance(src, np.ndarray):
             emb = src.astype(np.float32).reshape(-1)

@@ -36,7 +36,9 @@ def si_snr_matrix(
     estimate = estimate * mask
     source = source * mask
 
-    num = lengths[:, None, None].astype(jnp.float32)
+    # max(len, 1): a zero-length item (fully masked) must yield a finite
+    # 0-energy row, not NaN-poison the whole batch through 0/0.
+    num = jnp.maximum(lengths[:, None, None].astype(jnp.float32), 1.0)
     source = (source - jnp.sum(source, 2, keepdims=True) / num) * mask
     estimate = (estimate - jnp.sum(estimate, 2, keepdims=True) / num) * mask
 
@@ -71,10 +73,23 @@ def si_snr(
     estimate: jnp.ndarray,  # [..., T]
     source: jnp.ndarray,  # [..., T]
     epsilon: float = 1e-16,
+    lengths: jnp.ndarray | None = None,  # broadcastable to [..., 1] leading dims
 ) -> jnp.ndarray:
-    """Plain SI-SNR in dB per item (eval metric; higher is better)."""
-    source = source - jnp.mean(source, axis=-1, keepdims=True)
-    estimate = estimate - jnp.mean(estimate, axis=-1, keepdims=True)
+    """Plain SI-SNR in dB per item (eval metric; higher is better).
+
+    ``lengths`` masks the trailing zero-pad of short items so their
+    reconstruction noise over silence doesn't deflate the metric."""
+    if lengths is not None:
+        T = source.shape[-1]
+        mask = (jnp.arange(T) < lengths[..., None]).astype(source.dtype)
+        source = source * mask
+        estimate = estimate * mask
+        cnt = jnp.maximum(lengths[..., None].astype(source.dtype), 1.0)
+        source = (source - jnp.sum(source, -1, keepdims=True) / cnt) * mask
+        estimate = (estimate - jnp.sum(estimate, -1, keepdims=True) / cnt) * mask
+    else:
+        source = source - jnp.mean(source, axis=-1, keepdims=True)
+        estimate = estimate - jnp.mean(estimate, axis=-1, keepdims=True)
     dot = jnp.sum(estimate * source, axis=-1, keepdims=True)
     energy = jnp.sum(source**2, axis=-1, keepdims=True) + epsilon
     proj = dot * source / energy

@@ -45,8 +45,12 @@ _ACTIVATIONS = {"relu": nn.relu, "mish": mish}
 
 # Half of the conv stack's time receptive field (65 frames, reference
 # `models/voicefilter/model.py:17-54`): context needed on each side for
-# exact streaming.
-BASE_CONV_CONTEXT = 32
+# exact streaming.  The stack's one-sided time receptive field is the sum
+# of the layers' one-sided extents: (7x1) ±3, then 5-tap time convs with
+# dilations 1,2,4,8,16 contributing ±2d each — 3+2+4+8+16+32 = 65
+# (verified against a full-sequence pass in
+# `tests/test_streaming.py::test_windowed_conv_features_match_full_pass`).
+BASE_CONV_CONTEXT = 65
 
 
 def tapsum_conv_enabled() -> bool:

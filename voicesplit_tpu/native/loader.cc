@@ -33,7 +33,8 @@ namespace {
 // Minimal RIFF/WAVE reader -> float32 mono
 // ---------------------------------------------------------------------------
 
-bool read_wav(const std::string& path, std::vector<float>* out) {
+bool read_wav(const std::string& path, std::vector<float>* out,
+              uint32_t* rate_out = nullptr) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   auto rd_u32 = [&](uint32_t* v) { return fread(v, 4, 1, f) == 1; };
@@ -61,6 +62,7 @@ bool read_wav(const std::string& path, std::vector<float>* out) {
         return false;
       }
       got_fmt = true;
+      if (rate_out) *rate_out = rate;
       if (size > 16) fseek(f, size - 16, SEEK_CUR);
     } else if (memcmp(tag, "data", 4) == 0) {
       if (!got_fmt || channels == 0) {
@@ -181,6 +183,21 @@ struct Loader {
   int batch = 0, emb_dim = 0;
   int64_t wav_len = 0;
   int n_threads = 0, queue_cap = 0;
+  uint32_t expected_rate = 0;  // 0 = don't check
+
+  // Data errors are NEVER silent: load_one records them here (shapes are
+  // kept valid with zero-fill so the pipeline stays consistent), and the
+  // Python wrapper raises on the next batch fetch.
+  std::atomic<int64_t> n_errors{0};
+  std::mutex err_mu;
+  std::string first_error;
+
+  void record_error(const std::string& msg) {
+    if (n_errors.fetch_add(1) == 0) {
+      std::lock_guard<std::mutex> l(err_mu);
+      first_error = msg;
+    }
+  }
 
   std::vector<int64_t> order;       // item schedule for the current run
   std::atomic<size_t> next_batch{0};
@@ -197,7 +214,13 @@ struct Loader {
   ~Loader() { shutdown(); }
 
   void shutdown() {
-    stop = true;
+    {
+      // Hold the queue mutex while setting stop: a worker that has
+      // evaluated its wait predicate but not yet suspended would
+      // otherwise miss the notify and sleep forever (lost wakeup).
+      std::lock_guard<std::mutex> l(mu);
+      stop = true;
+    }
     cv_push.notify_all();
     cv_pop.notify_all();
     for (auto& t : workers) if (t.joinable()) t.join();
@@ -214,11 +237,21 @@ struct Loader {
       memcpy(emb_out, v.data(), emb_dim * sizeof(float));
     } else {
       memset(emb_out, 0, emb_dim * sizeof(float));
+      record_error("unreadable or wrong-size .npy embedding: " + s.emb);
     }
     auto fixed = [&](const std::string& path, float* dst) -> int32_t {
       std::vector<float> w;
-      if (!read_wav(path, &w)) {
+      uint32_t rate = 0;
+      if (!read_wav(path, &w, &rate)) {
         memset(dst, 0, wav_len * sizeof(float));
+        record_error("unreadable wav: " + path);
+        return 0;
+      }
+      if (expected_rate != 0 && rate != expected_rate) {
+        memset(dst, 0, wav_len * sizeof(float));
+        record_error("wav sample rate " + std::to_string(rate) +
+                     " != configured " + std::to_string(expected_rate) +
+                     " (native loader does not resample): " + path);
         return 0;
       }
       int64_t n = std::min<int64_t>((int64_t)w.size(), wav_len);
@@ -284,7 +317,8 @@ extern "C" {
 
 void* vsl_create(const char** emb_paths, const char** target_paths,
                  const char** mixed_paths, int64_t n_samples, int batch,
-                 int emb_dim, int64_t wav_len, int n_threads, int queue_cap) {
+                 int emb_dim, int64_t wav_len, int n_threads, int queue_cap,
+                 int expected_rate) {
   auto* L = new Loader;
   L->samples.resize(n_samples);
   for (int64_t i = 0; i < n_samples; ++i) {
@@ -295,7 +329,18 @@ void* vsl_create(const char** emb_paths, const char** target_paths,
   L->wav_len = wav_len;
   L->n_threads = n_threads > 0 ? n_threads : 4;
   L->queue_cap = queue_cap > 0 ? queue_cap : 8;
+  L->expected_rate = expected_rate > 0 ? (uint32_t)expected_rate : 0;
   return L;
+}
+
+int64_t vsl_error_count(void* handle) {
+  return ((Loader*)handle)->n_errors.load();
+}
+
+void vsl_last_error(void* handle, char* buf, int cap) {
+  auto* L = (Loader*)handle;
+  std::lock_guard<std::mutex> l(L->err_mu);
+  snprintf(buf, cap, "%s", L->first_error.c_str());
 }
 
 // Begin prefetching `n_order` scheduled item indices (must be a multiple of
@@ -320,12 +365,15 @@ int vsl_next(void* handle, float* emb, float* target, float* mixed,
 
 void vsl_destroy(void* handle) { delete (Loader*)handle; }
 
-int vsl_read_wav(const char* path, float* out, int64_t cap, int64_t* n_out) {
+int vsl_read_wav(const char* path, float* out, int64_t cap, int64_t* n_out,
+                 int64_t* rate_out) {
   std::vector<float> w;
-  if (!read_wav(path, &w)) return 0;
+  uint32_t rate = 0;
+  if (!read_wav(path, &w, &rate)) return 0;
   int64_t n = std::min<int64_t>((int64_t)w.size(), cap);
   memcpy(out, w.data(), n * sizeof(float));
   *n_out = (int64_t)w.size();
+  if (rate_out) *rate_out = (int64_t)rate;
   return 1;
 }
 

@@ -7,7 +7,7 @@ that carries all state explicitly —
 - **STFT**: an input sample tail of ``n_fft − hop`` provides the frame
   overlap; each chunk computes exactly ``C`` new frames (no center
   padding mid-stream).
-- **Conv stack**: non-causal with ±`conv_context` (32) frames of
+- **Conv stack**: non-causal with ±`conv_context` (65) frames of
   receptive field, so features are computed over a sliding window of
   ``2·ctx + C`` spectrogram frames kept in the state; emitted frames lag
   input by `ctx` frames (the lookahead).
@@ -19,7 +19,7 @@ that carries all state explicitly —
   window-sumsquare envelope.
 
 Algorithmic latency = ``ctx·hop + (n_fft − hop)`` samples
-(= 6160 ≈ 385 ms at the voicefilter backend's 16 kHz params, dominated
+(= 11440 ≈ 715 ms at the voicefilter backend's 16 kHz params, dominated
 by the conv lookahead).  Use a causal-ified conv (future work) to shrink
 it.
 """
@@ -76,6 +76,15 @@ class StreamingSeparator:
         chunk_frames: int = 50,
         synthesis_window: str = "hann",
     ):
+        if config.audio.backend != "voicefilter":
+            # The chunk step inlines the voicefilter backend's dB
+            # normalize/denormalize; feeding a wavernn/waveglow-trained
+            # model differently-scaled specs would silently produce
+            # garbage, so refuse instead.
+            raise NotImplementedError(
+                "StreamingSeparator supports the 'voicefilter' audio backend "
+                f"only (got {config.audio.backend!r})"
+            )
         self.config = config
         self.model: MaskNet = make_masknet(config, streaming=True)
         self.variables = variables

@@ -131,7 +131,11 @@ def make_eval_step(config: Config, model, ap: AudioProcessor):
             config, ap, output, target_spec, mixed_phase, batch["wav_len"]
         )
         est_wav = ap.spec2wav_batch(output, mixed_phase)
-        snr = si_snr(est_wav[..., : batch["target_wav"].shape[-1]], batch["target_wav"])
+        snr = si_snr(
+            est_wav[..., : batch["target_wav"].shape[-1]],
+            batch["target_wav"],
+            lengths=batch["wav_len"],
+        )
         return {
             "loss": loss.astype(jnp.float32),
             "si_snr": snr.astype(jnp.float32),  # [B]

@@ -130,6 +130,28 @@ class Trainer:
     def _put(self, batch: Dict[str, np.ndarray]):
         return put_batch(self.mesh, batch)
 
+    def _host_copy(self, tree):
+        """Host-local (numpy) copy of globally-sharded state.
+
+        In multi-host runs EVERY process must call this (process_allgather
+        is collective); once materialized, eval/checkpointing are purely
+        process-local, so gating *those* to process 0 cannot deadlock the
+        other hosts against a jit entered by one process only.
+        """
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # tiled=True: global (cross-host sharded) arrays are reshard-
+            # gathered to their full global value, shapes unchanged
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return tree
+
+    def _eval_vars(self):
+        """(params, batch_stats) safe to feed process-local eval_step."""
+        if jax.process_count() > 1:
+            return self._host_copy((self.state.params, self.state.batch_stats))
+        return self.state.params, self.state.batch_stats
+
     def fit(
         self,
         max_steps: Optional[int] = None,
@@ -152,13 +174,15 @@ class Trainer:
         t_window = time.time()
         steps_in_window = 0
         for epoch in range(c.epochs):
-            if validate_at_epoch_start and jax.process_index() == 0:
-                m = validate(
-                    self.eval_step, self.state.params, self.state.batch_stats,
-                    self.eval_loader, self.logger, step,
-                    max_items=max_eval_items, compute_sdr=compute_sdr_in_eval,
-                )
-                print(f" > Eval @ step {step}: {m}")
+            if validate_at_epoch_start:
+                params, bstats = self._eval_vars()  # collective in multi-host
+                if jax.process_index() == 0:
+                    m = validate(
+                        self.eval_step, params, bstats,
+                        self.eval_loader, self.logger, step,
+                        max_items=max_eval_items, compute_sdr=compute_sdr_in_eval,
+                    )
+                    print(f" > Eval @ step {step}: {m}")
             for _ in range(self.train_loader.batches_per_epoch()):
                 if self._prefetch is not None:
                     batch = next(self._prefetch)
@@ -185,21 +209,24 @@ class Trainer:
                     self.logger.log_training(loss, step, grad_norm=last["grad_norm"],
                                              audio_sec_per_sec_per_chip=last["audio_sec_per_sec_per_chip"])
 
-                if step % c.checkpoint_interval == 0 and jax.process_index() == 0:
+                if step % c.checkpoint_interval == 0:
                     data_state = (
                         self._prefetch.state if self._prefetch is not None
                         else self.train_loader.state
                     )
-                    path = save_checkpoint(
-                        self.log_dir, self.state, self.config, data_state
-                    )
-                    print(f"Saved checkpoint to: {path}")
-                    m = validate(
-                        self.eval_step, self.state.params, self.state.batch_stats,
-                        self.eval_loader, self.logger, step,
-                        max_items=max_eval_items, compute_sdr=compute_sdr_in_eval,
-                    )
-                    print(f" > Eval @ step {step}: {m}")
+                    host_state = self._host_copy(self.state)  # collective
+                    params, bstats = host_state.params, host_state.batch_stats
+                    if jax.process_index() == 0:
+                        path = save_checkpoint(
+                            self.log_dir, host_state, self.config, data_state
+                        )
+                        print(f"Saved checkpoint to: {path}")
+                        m = validate(
+                            self.eval_step, params, bstats,
+                            self.eval_loader, self.logger, step,
+                            max_items=max_eval_items, compute_sdr=compute_sdr_in_eval,
+                        )
+                        print(f" > Eval @ step {step}: {m}")
 
                 if max_steps is not None and step >= max_steps:
                     last["step"] = step
