@@ -83,6 +83,46 @@ def test_latency_constant(small_streaming_setup):
     assert sep.latency_samples == 65 * 160 + (1200 - 160)
 
 
+def test_threaded_state_keeps_one_compile(small_streaming_setup):
+    """The output StreamState must have the exact dtype signature of
+    init_state: a dtype flip (e.g. bf16 LSTM carry) silently recompiles
+    the chunk step on the SECOND chunk and every stream thereafter runs
+    against a churned cache (measured 32 s + ~300x slowdown on TPU)."""
+    c, variables = small_streaming_setup
+    sep = StreamingSeparator(c, variables, chunk_frames=20)
+    st = sep.init_state(1)
+    emb = np.zeros((1, 256), np.float32)
+    chunk = np.zeros((1, sep.chunk_samples), np.float32)
+    for _ in range(3):
+        st, _ = sep.process_chunk(st, chunk, emb)
+    assert sep._chunk_step._cache_size() == 1
+    for name in ("sample_tail", "spec_hist", "phase_hist", "lstm_h", "lstm_c", "ola_tail"):
+        assert getattr(st, name).dtype == np.float32, name
+
+
+def test_threaded_state_one_compile_bf16_model(small_streaming_setup):
+    """Same invariant with a bf16-compute model (the TPU default), whose
+    raw LSTM carry comes back bf16 — the case that actually recompiled."""
+    c0, _ = small_streaming_setup
+    import dataclasses
+
+    c = dataclasses.replace(c0)
+    c.train_config = dataclasses.replace(c0.train_config, compute_dtype="bfloat16")
+    model = make_masknet(c, streaming=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 601)), jnp.zeros((1, 256))
+    )
+    sep = StreamingSeparator(c, variables, chunk_frames=20)
+    st = sep.init_state(1)
+    emb = np.zeros((1, 256), np.float32)
+    chunk = np.zeros((1, sep.chunk_samples), np.float32)
+    for _ in range(3):
+        st, out = sep.process_chunk(st, chunk, emb)
+    assert sep._chunk_step._cache_size() == 1
+    assert st.lstm_h.dtype == np.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_windowed_conv_features_match_full_pass(small_streaming_setup):
     """conv_context must cover the stack's true receptive field: features
     of a frame computed from a ±ctx window must EXACTLY equal the

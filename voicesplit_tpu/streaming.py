@@ -165,13 +165,19 @@ class StreamingSeparator:
         ola = ola.at[:, : n_fft - hop].add(state.ola_tail)
         emitted = ola[:, : C * hop] / jnp.asarray(self._env)
 
+        # The carry MUST keep the float32 signature of init_state: the
+        # model returns (h, c) in its compute dtype (bf16 on TPU), and a
+        # dtype flip in the threaded state forces a full recompile on the
+        # second chunk (measured: 32 s compile + slow steady state).
+        # float32 carry also avoids bf16 drift over long streams.
+        f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
         new_state = StreamState(
-            sample_tail=buf[:, -(n_fft - hop):],
-            spec_hist=window[:, C:],
-            phase_hist=jnp.concatenate([state.phase_hist, phase_new], axis=1)[:, C:],
-            lstm_h=h,
-            lstm_c=c,
-            ola_tail=ola[:, C * hop :],
+            sample_tail=f32(buf[:, -(n_fft - hop):]),
+            spec_hist=f32(window[:, C:]),
+            phase_hist=f32(jnp.concatenate([state.phase_hist, phase_new], axis=1)[:, C:]),
+            lstm_h=f32(h),
+            lstm_c=f32(c),
+            ola_tail=f32(ola[:, C * hop :]),
         )
         return new_state, emitted
 
