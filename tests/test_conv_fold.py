@@ -175,3 +175,33 @@ def test_masknet_folded_matches_xla_path(monkeypatch):
     _, eval_f, _ = _masknet_outputs(monkeypatch, folded=True, train=False)
     _, eval_x, _ = _masknet_outputs(monkeypatch, folded=False, train=False)
     np.testing.assert_allclose(np.asarray(eval_f), np.asarray(eval_x), atol=2e-4)
+
+
+def test_folded_batch_norm_ignores_pad_garbage(rng):
+    """folded_batch_norm must zero the pad column itself: garbage there
+    (allowed in conv2d_folded output) must not skew the statistics."""
+    from voicesplit_tpu.ops.conv_fold import FOLD
+
+    B, T, F, C = 2, 6, 7, 4  # odd F -> one pad parity in the last block
+    Fb = -(-((F + 1)) // FOLD)
+    xf = jnp.asarray(rng.standard_normal((B, T, Fb, FOLD * C)).astype(np.float32))
+    scale = jnp.ones((C,)); bias = jnp.zeros((C,))
+    rm = jnp.zeros((C,)); rv = jnp.ones((C,))
+    clean, m1, v1 = folded_batch_norm(
+        zero_pad_column(xf, F), F, scale, bias, rm, rv, use_running_average=False
+    )
+    dirty, m2, v2 = folded_batch_norm(
+        xf.at[:, :, -1, -C:].set(1e6), F, scale, bias, rm, rv, use_running_average=False
+    )
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(clean), np.asarray(dirty), atol=1e-5)
+
+
+def test_tapsum_rejects_even_kernels(rng):
+    from voicesplit_tpu.ops.conv_tapsum import conv2d_tapsum
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 10, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, 3, 4, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="odd kernel"):
+        conv2d_tapsum(x, w)

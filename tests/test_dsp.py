@@ -291,3 +291,19 @@ def test_waveglow_backend_spectrogram():
     spec, phase = ap.wav2spec(y)
     T = num_frames(len(y), ap.n_fft, ap.hop_length)
     assert spec.shape == (T, 513)
+
+
+def test_istft_length_pads_to_exact_request():
+    """`length` must return EXACTLY that many samples (librosa/torch
+    semantics): lengths off the hop grid used to come back short, which
+    broke downstream length-sliced SI-SNR on odd-length clips."""
+    from voicesplit_tpu.dsp.stft import istft, stft
+
+    rng = np.random.default_rng(0)
+    for L in (252, 1000, 1001, 4321):
+        y = rng.standard_normal(L).astype(np.float32)
+        re, im = stft(jnp.asarray(y), n_fft=64, hop_length=21, win_length=64)
+        out = istft(re, im, n_fft=64, hop_length=21, win_length=64, length=L)
+        assert out.shape[-1] == L, (L, out.shape)
+        # interior reconstruction still accurate
+        np.testing.assert_allclose(np.asarray(out)[32:L - 64], y[32:L - 64], atol=1e-4)

@@ -269,7 +269,13 @@ def istft(
         pad = n_fft // 2
         y = y[..., pad:-pad] if pad else y
     if length is not None:
-        y = y[..., :length]
+        # librosa/torchaudio semantics: exactly `length` samples — pad
+        # with zeros when the frame grid covers fewer (T frames span only
+        # (T-1)*hop + n_fft samples, short of lengths not on the hop grid)
+        if y.shape[-1] < length:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])])
+        else:
+            y = y[..., :length]
     return y
 
 

@@ -56,7 +56,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from voicesplit_tpu.ops.conv_fold import FOLD
+from voicesplit_tpu.ops.conv_fold import FOLD, zero_pad_column
 
 
 def _act_and_deriv(z: jnp.ndarray, act: str, need_deriv: bool):
@@ -76,19 +76,8 @@ def _act_and_deriv(z: jnp.ndarray, act: str, need_deriv: bool):
     raise ValueError(f"unknown activation {act!r}")
 
 
-def _pad_mask_cols(C2: int, num_freq: int, Fb: int) -> int:
-    """How many trailing folded channels of the LAST block are padding."""
-    n_pad = Fb * FOLD - num_freq
-    C = C2 // FOLD
-    return n_pad * C
-
-
-def _zero_pad_col(xf: jnp.ndarray, num_freq: int) -> jnp.ndarray:
-    B, T, Fb, C2 = xf.shape
-    cols = _pad_mask_cols(C2, num_freq, Fb)
-    if cols == 0:
-        return xf
-    return xf.at[:, :, -1, C2 - cols:].set(0)
+# single source of truth for the folded pad-column invariant
+_zero_pad_col = zero_pad_column
 
 
 def _stats(xf: jnp.ndarray, num_freq: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -183,6 +183,10 @@ def folded_batch_norm(
     """
     B, T, Fb, C2 = xf.shape
     C = C2 // FOLD
+    # conv2d_folded's output pad column may hold conv garbage (its
+    # documented contract); zero it here so the statistics below are
+    # correct without every caller remembering to do it first.
+    xf = zero_pad_column(xf, num_freq)
     x_view = xf.reshape(B, T, Fb * FOLD, C)
     if use_running_average:
         mean, var = running_mean, running_var

@@ -37,24 +37,29 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _FREQ_HALO = 8  # left-pad of the freq axis; window width = f_tile + 2*halo
 
 
-def _tiles(dt: int) -> Tuple[int, int]:
+def _tiles(dt: int, itemsize: int = 2) -> Tuple[int, int]:
     """(t_tile, f_tile).  v5e has 128 MB VMEM — big tiles keep the grid
     short (sequential grid steps have fixed overhead) and the MXU fed.
-    Override for sweeps: VOICESPLIT_CONV_TILES="t,f"."""
+    Sized for bf16; 4-byte dtypes halve the time tile so the scratch
+    windows stay inside the scoped-vmem limit (fp32 at the bf16 tiles
+    measured 107 MB > the 100 MB cap).  Override for sweeps:
+    VOICESPLIT_CONV_TILES="t,f"."""
     import os
 
     v = os.environ.get("VOICESPLIT_CONV_TILES")
     if v:
         t, f = (int(s) for s in v.split(","))
         return t, f
-    return (32 if dt <= 16 else 16), 640
+    t = 32 if dt <= 16 else 16
+    if itemsize > 2:
+        t = max(8, t // 2)
+    return t, 640
 
 
 def pallas_conv_available() -> bool:
@@ -166,7 +171,7 @@ def _conv_fwd_core(x: jnp.ndarray, w: jnp.ndarray, dilation: Tuple[int, int]):
     assert df == 1, "freq dilation unsupported (unused by the model)"
     assert kt % 2 == 1 and kf % 2 == 1
     B, T, F, _ = x.shape
-    t_tile, f_tile = _tiles(dt)
+    t_tile, f_tile = _tiles(dt, x.dtype.itemsize)
     pad_t = (kt - 1) * dt // 2  # SAME halo, symmetric (odd kt)
     halo_f = _FREQ_HALO if kf > 1 else 0
 
@@ -293,7 +298,7 @@ def _conv_wgrad_core(
     assert df == 1
     B, T, F, cin = x.shape
     cout = dy.shape[-1]
-    t_tile, f_tile = _tiles(dt)
+    t_tile, f_tile = _tiles(dt, x.dtype.itemsize)
     pad_t = (kt - 1) * dt // 2
     halo_f = _FREQ_HALO if kf > 1 else 0
 

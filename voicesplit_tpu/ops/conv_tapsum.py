@@ -29,7 +29,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def conv2d_tapsum(
@@ -41,6 +40,11 @@ def conv2d_tapsum(
     """"Same"-padded dilated conv, identical to the reference's
     ZeroPad2d+Conv2d (`models/voicefilter/model.py:17-54`)."""
     kt, kf, Cin, Cout = w.shape
+    if kt % 2 == 0 or kf % 2 == 0:
+        # symmetric floor-divided SAME padding below is only correct for
+        # odd kernels (all the model uses); even dims would silently
+        # clip the last tap slice
+        raise ValueError(f"conv2d_tapsum requires odd kernel dims, got {(kt, kf)}")
     dt, df = dilation
     pad_t = (kt - 1) * dt // 2
     pad_f = (kf - 1) * df // 2

@@ -130,12 +130,12 @@ def make_eval_step(config: Config, model, ap: AudioProcessor):
         loss = _loss_from_outputs(
             config, ap, output, target_spec, mixed_phase, batch["wav_len"]
         )
-        est_wav = ap.spec2wav_batch(output, mixed_phase)
-        snr = si_snr(
-            est_wav[..., : batch["target_wav"].shape[-1]],
-            batch["target_wav"],
-            lengths=batch["wav_len"],
+        # request the target's exact length: clip lengths off the hop
+        # grid would otherwise invert short and break the comparison
+        est_wav = ap.spec2wav_batch(
+            output, mixed_phase, length=batch["target_wav"].shape[-1]
         )
+        snr = si_snr(est_wav, batch["target_wav"], lengths=batch["wav_len"])
         return {
             "loss": loss.astype(jnp.float32),
             "si_snr": snr.astype(jnp.float32),  # [B]
