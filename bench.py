@@ -62,7 +62,22 @@ def run_bench(batch_size: int = 32, n_warmup: int = 3, n_steps: int = 20):
         "wav_len": np.full((B,), L, np.int32),
         "seq_len": np.full((B,), T, np.int32),
     }
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    n_chips = len(jax.devices())
+    if n_chips > 1 and B % n_chips == 0:
+        # shard batch + state over all chips so the per-chip division
+        # below reflects work that actually ran on every chip
+        from voicesplit_tpu.parallel.mesh import make_mesh
+        from voicesplit_tpu.parallel.sharding import put_batch, shard_train_state
+
+        mesh = make_mesh(data=n_chips, model=1)
+        state = shard_train_state(state, mesh, model_parallel=False)
+        batch = put_batch(mesh, batch)
+    else:
+        if n_chips > 1:
+            print(f"# batch {B} not divisible by {n_chips} chips; single-chip run",
+                  file=sys.stderr)
+            n_chips = 1
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
 
     for _ in range(n_warmup):
         state, metrics = train_step(state, batch)
@@ -77,7 +92,6 @@ def run_bench(batch_size: int = 32, n_warmup: int = 3, n_steps: int = 20):
     float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 
-    n_chips = len(jax.devices())
     audio_seconds = B * c.audio.audio_len * n_steps
     value = audio_seconds / dt / n_chips
     return value, {

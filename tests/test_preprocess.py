@@ -135,3 +135,35 @@ def test_wavernn_mel_spec_mode():
     ap2 = AudioProcessor(cfg)
     wav = ap2.spec2wav(spec)
     assert np.isfinite(wav).all()
+
+
+def test_read_triplet_csv_headerless(tmp_path):
+    """Headerless reference-style CSVs (train_small.csv) must keep their
+    first row — the reference's header=0 default silently ate it."""
+    csv = tmp_path / "nohdr.csv"
+    csv.write_text(
+        "s1/s1_000.wav,s1/s1_001.wav,s2/s2_000.wav\n"
+        "s1/s1_002.wav,s1/s1_000.wav,s2/s2_001.wav\n"
+    )
+    rows = read_triplet_csv(str(csv))
+    assert len(rows) == 2
+    assert rows[0][0] == "s1/s1_000.wav"
+
+
+def test_save_specs_use_run_audio_config(corpus):
+    """*-{target,mixed}.npy spectrograms must come from THE RUN'S audio
+    config, not the library default (they used to be computed with the
+    default 1200-point STFT regardless of config)."""
+    root, csv, tmp = corpus
+    out = tmp / "out_specs"
+    c = Config()
+    c.audio.voicefilter.n_fft = 800  # -> num_freq 401, non-default
+    c.audio.voicefilter.num_freq = 401
+    n = preprocess_csv(c, str(csv), str(root), str(out), num_workers=1, save_specs=True)
+    assert n == 2
+    import glob as _glob
+
+    specs = sorted(_glob.glob(str(out / "*-target.npy")))
+    assert specs
+    spec = np.load(specs[0])
+    assert spec.shape[-1] == 401, spec.shape

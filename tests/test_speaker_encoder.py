@@ -64,3 +64,35 @@ def test_quantize_roundtrip():
     x = np.linspace(-1, 1, 100).astype(np.float32)
     q = AudioProcessor.quantize(x, 10)
     np.testing.assert_allclose(AudioProcessor.dequantize(q, 10), x, atol=1e-6)
+
+
+def test_window_batched_extraction_matches_direct():
+    """The CLI's fixed-shape window-batched extraction (one compile for
+    any utterance length) must equal the encoder's direct full-utterance
+    forward: per-window L2-normalized embeddings, host mean-pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.models.speaker_encoder import SpeakerEncoder
+
+    enc = SpeakerEncoder(num_mels=8, lstm_hidden=16, emb_dim=12)
+    rng = np.random.default_rng(0)
+    T = 80 + 40 * 6 + 17  # 7 windows + ragged tail (dropped by both paths)
+    mel = rng.standard_normal((8, T)).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80)))
+
+    direct = np.asarray(enc.apply(variables, mel[None]))[0]
+
+    W, S, WB = enc.window, enc.stride, 3  # WB chosen to force a padded tail chunk
+    n_win = (T - W) // S + 1
+    wins = np.stack([mel[:, s * S : s * S + W] for s in range(n_win)])
+    apply_win = jax.jit(lambda m: enc.apply(variables, m))
+    parts = []
+    for i in range(0, n_win, WB):
+        chunk = wins[i : i + WB]
+        valid = len(chunk)
+        if valid < WB:
+            chunk = np.concatenate([chunk, np.zeros((WB - valid, *chunk.shape[1:]), np.float32)])
+        parts.append(np.asarray(apply_win(chunk))[:valid])
+    batched = np.concatenate(parts).mean(axis=0)
+    np.testing.assert_allclose(batched, direct, atol=1e-5)

@@ -77,19 +77,38 @@ def main(argv=None):
         mel0 = np.zeros((1, config.audio.active.num_mels, 80), np.float32)
         variables = encoder.init(jax.random.PRNGKey(0), mel0)
 
-    apply = jax.jit(lambda mel: encoder.apply(variables, mel))
+    # ONE fixed-shape compiled program: embed windows in batches of WB
+    # ([WB, M, 80] in, [WB, E] out) and mean-pool on the host — exactly
+    # the encoder's own semantics (per-window L2-normalize, mean over
+    # windows), but without recompiling for every distinct utterance
+    # length, which dominated extraction wall time.
+    WB = 32
+    W, S = encoder.window, encoder.stride
+    apply_win = jax.jit(lambda mels: encoder.apply(variables, mels))
     files = sorted(glob(os.path.join(args.data_dir, args.glob_wav)))
     n_ok = n_short = 0
     for path in files:
         out_path = path.replace(args.glob_wav.replace("*", ""), "") + args.out_suffix
         wav = ap.load_wav(path)
-        mel = ap.get_mel(wav)  # [n_mels, T]
-        if mel.shape[1] < encoder.window:
+        mel = np.asarray(ap.get_mel(wav), np.float32)  # [n_mels, T]
+        T = mel.shape[1]
+        if T < W:
             # sentinel for too-short references (reference `:147-152`)
             np.save(out_path, np.array([0], np.float32))
             n_short += 1
             continue
-        emb = np.asarray(apply(mel[None]))[0]
+        n_win = (T - W) // S + 1
+        wins = np.stack([mel[:, s * S : s * S + W] for s in range(n_win)])
+        parts = []
+        for i in range(0, n_win, WB):
+            chunk = wins[i : i + WB]
+            valid = len(chunk)
+            if valid < WB:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((WB - valid, *chunk.shape[1:]), np.float32)]
+                )
+            parts.append(np.asarray(apply_win(chunk))[:valid])
+        emb = np.concatenate(parts).mean(axis=0)
         np.save(out_path, emb.astype(np.float32))
         n_ok += 1
     print(f"wrote {n_ok} embeddings ({n_short} sentinels) in {args.data_dir}")

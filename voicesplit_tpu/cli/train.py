@@ -26,6 +26,11 @@ def main(argv=None):
                         help="mix 2-speaker training batches on the fly from a "
                              "speaker-per-directory corpus at dataset.train_dir "
                              "instead of reading pre-mixed triplets")
+    parser.add_argument("--emb_mode", choices=["pseudo", "spectral"], default="pseudo",
+                        help="--online fallback for speakers without precomputed "
+                        "embeddings: pseudo = identity tokens (smoke mode), "
+                        "spectral = training-free signal-derived d-vectors "
+                        "(the open-set protocol)")
     parser.add_argument("--embeddings_dir", type=str, default=None,
                         help="with --online: <speaker>.npy d-vectors")
     parser.add_argument("--coordinator", type=str, default=None,
@@ -89,6 +94,7 @@ def main(argv=None):
             hop_length=ap_cfg.hop_length,
             emb_dim=config.model.emb_dim,
             embeddings=embeddings,
+            emb_mode=args.emb_mode,
             seed=config.train_config.seed,
             shard_id=jax.process_index(),
             num_shards=max(1, jax.process_count()),

@@ -13,7 +13,8 @@ that stays `depth` batches ahead, calling `jax.device_put` (optionally
 with a `Sharding`) off the critical path.
 
 Checkpoint/resume correctness: the wrapped iterator's `state` is
-captured BEFORE each batch is drawn and travels with that batch; `state`
+snapshotted right after each batch is drawn (i.e. it points at the NEXT
+undrawn batch) and travels with that batch; `state`
 returns the snapshot of the most recently CONSUMED batch, so saving it
 and later `load_state`-ing the inner iterator replays the stream exactly
 from the first unconsumed batch — prefetched-but-unconsumed batches are

@@ -23,11 +23,28 @@ from voicesplit_tpu.data.mixer import MixedSample, mix_overlap, mix_sequential
 from voicesplit_tpu.dsp.audio_io import load_wav, save_wav_float
 
 
-def read_triplet_csv(path: str) -> List[Tuple[str, str, str]]:
-    """Rows of ``[clean, embedding_ref, interference]`` (header optional)."""
+_HEADER_WORDS = ("utterance", "clean", "embedding", "interference", "noise", "file", "path")
+
+
+def _read_csv_rows(path: str):
+    """CSV rows with header auto-detection.
+
+    The reference's own fixtures are inconsistent (train_small.csv has no
+    header, test_config.csv does — and the reference's header=0 default
+    silently eats the first triplet of headerless files); here the first
+    row is treated as a header only when it looks like one."""
     import pandas as pd
 
-    return [tuple(map(str, row[:3])) for row in pd.read_csv(path, sep=",").values]
+    df = pd.read_csv(path, sep=",", header=None, dtype=str)
+    first = [str(x).strip().lower() for x in df.iloc[0]]
+    if any(any(w in cell for w in _HEADER_WORDS) for cell in first):
+        df = df.iloc[1:]
+    return df.values
+
+
+def read_triplet_csv(path: str) -> List[Tuple[str, str, str]]:
+    """Rows of ``[clean, embedding_ref, interference]`` (header optional)."""
+    return [tuple(map(str, row[:3])) for row in _read_csv_rows(path)]
 
 
 def resolve_librispeech(utt_id: str, root: str, suffix: str = "-norm.wav") -> str:
@@ -91,6 +108,24 @@ def write_sample(
         np.save(paths["mixed"], mixed_spec)
 
 
+# One AudioProcessor per worker process, built from the RUN's audio
+# config (a fresh AP per row would both use wrong DSP params if only the
+# default were rebuilt and retrace wav2spec every row).
+_WORKER_AP = None
+_WORKER_AP_KEY = None
+
+
+def _worker_ap(audio_config):
+    global _WORKER_AP, _WORKER_AP_KEY
+    key = repr(audio_config)
+    if _WORKER_AP is None or _WORKER_AP_KEY != key:
+        from voicesplit_tpu.dsp.processor import AudioProcessor
+
+        _WORKER_AP = AudioProcessor(audio_config)
+        _WORKER_AP_KEY = key
+    return _WORKER_AP
+
+
 def _mix_one(
     args: Tuple[int, Tuple[str, str, str]],
     out_dir: str,
@@ -98,6 +133,7 @@ def _mix_one(
     sample_rate: int,
     audio_len: float,
     save_specs: bool,
+    audio_config=None,
 ) -> bool:
     """Worker: returns True when a triplet was written."""
     num, (clean_path, emb_path, intf_path) = args
@@ -111,12 +147,7 @@ def _mix_one(
     sample = mix_overlap(emb, clean, intf, sample_rate, audio_len)
     if sample is None:
         return False
-    ap = None
-    if save_specs:
-        from voicesplit_tpu.config import Config
-        from voicesplit_tpu.dsp.processor import AudioProcessor
-
-        ap = AudioProcessor(Config().audio)
+    ap = _worker_ap(audio_config) if save_specs else None
     write_sample(sample, out_dir, fmt, num, sample_rate, ap)
     return True
 
@@ -144,6 +175,7 @@ def preprocess_csv(
         sample_rate=sample_rate,
         audio_len=config.audio.audio_len,
         save_specs=save_specs,
+        audio_config=config.audio,
     )
     num_workers = num_workers or cpu_count()
     jobs = list(enumerate(rows))
@@ -162,6 +194,7 @@ def _mix_one_sequential(
     sample_rate: int,
     save_specs: bool,
     seed: int,
+    audio_config=None,
 ) -> int:
     """Worker for the non-overlap/noise variant; returns #variants written."""
     num, (clean_path, emb_path, intf_path), (noise1_path, noise2_path) = args
@@ -176,12 +209,7 @@ def _mix_one_sequential(
         return 0
     rng = np.random.default_rng((seed, num))
     samples = mix_sequential(emb, clean, intf, n1, n2, sample_rate, rng)
-    ap = None
-    if save_specs and samples:
-        from voicesplit_tpu.config import Config
-        from voicesplit_tpu.dsp.processor import AudioProcessor
-
-        ap = AudioProcessor(Config().audio)
+    ap = _worker_ap(audio_config) if (save_specs and samples) else None
     for sub, sample in enumerate(samples, start=1):
         write_sample(sample, out_dir, fmt, num, sample_rate, ap, sub=sub)
     return len(samples)
@@ -203,15 +231,12 @@ def preprocess_csv_sequential(
     `preprocess_by_csv_without_voice_overlay.py:17-125`): each triplet row
     gets a random noise *pair* from the noise CSV; up to 4 variants are
     written per row.  Returns total variants written."""
-    import pandas as pd
-
     os.makedirs(out_dir, exist_ok=True)
     rows = resolve_triplets(read_triplet_csv(csv_path), dataset_root, librispeech)
     if limit:
         rows = rows[:limit]
     noise_files = [
-        os.path.join(dataset_root, str(r[0]))
-        for r in pd.read_csv(noise_csv_path, sep=",").values
+        os.path.join(dataset_root, str(r[0])) for r in _read_csv_rows(noise_csv_path)
     ]
     if len(noise_files) < 2:
         raise ValueError("noise CSV needs at least 2 files")
@@ -228,6 +253,7 @@ def preprocess_csv_sequential(
         sample_rate=sample_rate,
         save_specs=save_specs,
         seed=seed,
+        audio_config=config.audio,
     )
     jobs = [(i, row, pair) for i, (row, pair) in enumerate(zip(rows, noise_pairs))]
     num_workers = num_workers or cpu_count()

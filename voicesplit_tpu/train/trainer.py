@@ -57,12 +57,31 @@ class Trainer:
         self.ap: AudioProcessor = make_audio_processor(config)
         self.model = make_masknet(config)
         if mesh is None:
-            # data axis must divide the per-host batch; use the largest
-            # device count that does rather than failing on small batches
             import math
 
             n_dev = len(jax.devices()) // model_parallel
-            data = math.gcd(config.train_config.batch_size, n_dev)
+            if jax.process_count() > 1:
+                # Multi-host: the mesh MUST span every host's devices —
+                # a truncated device list would give some hosts no
+                # addressable mesh devices and kill put_batch.  So the
+                # global batch has to divide over the full data axis.
+                global_batch = config.train_config.batch_size * jax.process_count()
+                if n_dev * model_parallel != len(jax.devices()):
+                    raise ValueError(
+                        f"model_parallel={model_parallel} must divide the "
+                        f"global device count {len(jax.devices())}"
+                    )
+                if global_batch % n_dev != 0:
+                    raise ValueError(
+                        f"global batch {global_batch} (= per-host "
+                        f"{config.train_config.batch_size} x {jax.process_count()} "
+                        f"hosts) must be divisible by the data axis {n_dev}"
+                    )
+                data = n_dev
+            else:
+                # single host: data axis must divide the batch; use the
+                # largest device count that does rather than failing
+                data = math.gcd(config.train_config.batch_size, n_dev)
             if data * model_parallel < len(jax.devices()):
                 print(
                     f" ! batch_size {config.train_config.batch_size} / model_parallel "
@@ -100,22 +119,28 @@ class Trainer:
         if checkpoint_path:
             payload = load_checkpoint(checkpoint_path)
             try:
-                state, data_state = restore_train_state(payload, state)
-                self.train_loader.load_state(data_state)
-                print(f" > Resumed checkpoint step {int(payload['step'])}")
+                restored, data_state = restore_train_state(payload, state)
             except Exception as e:  # shape mismatch ⇒ partial warm start
                 print(f" > Full restore failed ({e}); partial init")
                 state, _ = restore_train_state(
                     payload, state, partial=True,
                     reinit_layers=config.train_config.reinit_layers,
                 )
+            else:
+                # outside the except scope: a loader/data-state problem
+                # must surface loudly, not silently discard a good full
+                # restore (resetting step + Adam moments) as "mismatch"
+                state = restored
+                if data_state is not None:
+                    self.train_loader.load_state(data_state)
+                print(f" > Resumed checkpoint step {int(payload['step'])}")
 
-        self.state: TrainState = shard_train_state(state, self.mesh, model_parallel)
+        self.state: TrainState = shard_train_state(state, self.mesh, self.model_parallel)
         self.train_step = make_train_step(config, self.model, self.ap, tx)
         self.eval_step = make_eval_step(config, self.model, self.ap)
         self.logger = MetricsLogger(
-            self.log_dir, self.ap.sample_rate,
-            enable_tb=enable_tb and jax.process_index() == 0,
+            self.log_dir, self.ap.sample_rate, enable_tb=enable_tb,
+            enabled=jax.process_index() == 0,
         )
         self._audio_seconds_per_batch = (
             B * config.audio.audio_len * max(1, jax.process_count())

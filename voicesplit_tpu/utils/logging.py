@@ -54,13 +54,29 @@ def plot_spectrogram_to_numpy(spec: np.ndarray) -> np.ndarray:
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, sample_rate: int = 16000, enable_tb: bool = True):
-        os.makedirs(log_dir, exist_ok=True)
+    def __init__(
+        self,
+        log_dir: str,
+        sample_rate: int = 16000,
+        enable_tb: bool = True,
+        enabled: bool = True,
+    ):
+        """``enabled=False`` makes every log call a no-op — used to gate
+        ALL file writes (jsonl included, not just TB) to host 0 so
+        multi-host runs don't interleave appends in a shared log dir."""
         self.sample_rate = sample_rate
+        self.enabled = enabled
+        if not enabled:
+            self.tb = None
+            self._jsonl = None
+            return
+        os.makedirs(log_dir, exist_ok=True)
         self.tb = SummaryWriter(log_dir) if (_HAS_TB and enable_tb) else None
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
     def log_scalars(self, scalars: Dict[str, float], step: int) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -86,6 +102,8 @@ class MetricsLogger:
         est_mask: Optional[np.ndarray] = None,
     ) -> None:
         """Eval scalars + audio + images (reference `utils/tensorboard.py:38-59`)."""
+        if not self.enabled:
+            return
         self.log_scalars({"test_loss": test_loss, "SDR": sdr}, step)
         if not self.tb:
             return
@@ -116,6 +134,7 @@ class MetricsLogger:
             )
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl:
+            self._jsonl.close()
         if self.tb:
             self.tb.close()
