@@ -123,6 +123,91 @@ def test_threaded_state_one_compile_bf16_model(small_streaming_setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.fixture(scope="module")
+def causal_streaming_setup():
+    c = Config()
+    c.model_name = "voicesplit"
+    c.model.lstm_dim = 24
+    c.model.fc1_dim = 32
+    c.model.conv_channels = 4
+    c.model.conv_out_channels = 2
+    c.model.causal = True
+    c.train_config.compute_dtype = "float32"
+    model = make_masknet(c, streaming=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 601)), jnp.zeros((1, 256))
+    )
+    return c, variables
+
+
+def test_causal_features_ignore_future(causal_streaming_setup):
+    """With model.causal, frame t's conv features must be identical no
+    matter what comes after t — the zero-lookahead guarantee."""
+    c, variables = causal_streaming_setup
+    model = make_masknet(c, streaming=True)
+    assert model.conv_context_right == 0
+    assert model.conv_context_left == 2 * model.conv_context
+    rng = np.random.default_rng(3)
+    T = 160
+    spec = rng.uniform(0, 1, (1, T, 601)).astype(np.float32)
+    full = model.apply(variables, jnp.asarray(spec), method=model.conv_features)
+    # scramble everything after t: features at [0..t] must not move
+    t = 100
+    scrambled = spec.copy()
+    scrambled[:, t + 1 :] = rng.uniform(0, 1, (1, T - t - 1, 601))
+    full2 = model.apply(variables, jnp.asarray(scrambled), method=model.conv_features)
+    np.testing.assert_allclose(
+        np.asarray(full[:, : t + 1]), np.asarray(full2[:, : t + 1]), atol=1e-6
+    )
+    assert np.abs(np.asarray(full[:, t + 1 :]) - np.asarray(full2[:, t + 1 :])).max() > 1e-4
+
+
+def test_causal_streaming_chunk_invariance_and_latency(causal_streaming_setup):
+    c, variables = causal_streaming_setup
+    sep20 = StreamingSeparator(c, variables, chunk_frames=20)
+    sep60 = StreamingSeparator(c, variables, chunk_frames=60)
+    # zero conv lookahead: only the STFT overlap remains
+    assert sep20.latency_samples == 1200 - 160
+    assert sep20.hist_frames == 2 * 65
+    emb = np.random.default_rng(1).standard_normal((1, 256)).astype(np.float32)
+    wav = _wav()[None]
+    out_small = sep20.separate(wav, emb)
+    out_large = sep60.separate(wav, emb)
+    assert out_small.shape == out_large.shape == wav.shape
+    np.testing.assert_allclose(out_small, out_large, atol=2e-4)
+
+
+def test_causal_train_step_runs():
+    """The causal STREAMING model (uni-LSTM) trains end-to-end — the
+    deployable zero-lookahead configuration; the train/eval steps accept
+    the streaming model's (mask, carry) output."""
+    from voicesplit_tpu.data import BatchIterator, SeparationDataset, build_synthetic_dataset, discover_samples
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+    from voicesplit_tpu.train import create_train_state, make_optimizer, make_train_step
+    import tempfile
+
+    c = Config()
+    c.model.causal = True
+    c.model.lstm_dim = 16
+    c.model.fc1_dim = 24
+    c.model.conv_channels = 4
+    c.model.conv_out_channels = 2
+    c.audio.audio_len = 0.6
+    c.train_config.batch_size = 2
+    c.train_config.compute_dtype = "float32"
+    tmp = tempfile.mkdtemp()
+    build_synthetic_dataset(tmp, 2, SR, c.audio.audio_len, seed=0)
+    ap = AudioProcessor(c.audio)
+    ds = SeparationDataset(discover_samples(tmp, c.dataset.format), ap, c.audio.audio_len)
+    loader = BatchIterator(ds, 2, shuffle=False)
+    model = make_masknet(c, streaming=True)
+    tx = make_optimizer(c)
+    state = create_train_state(c, model, jax.random.PRNGKey(0), (2, ds.n_frames, 601), tx)
+    step = make_train_step(c, model, ap, tx, donate=False)
+    state, metrics = step(state, next(loader))
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+
+
 def test_windowed_conv_features_match_full_pass(small_streaming_setup):
     """conv_context must cover the stack's true receptive field: features
     of a frame computed from a ±ctx window must EXACTLY equal the

@@ -151,6 +151,8 @@ class ModelConfig:
     conv_channels: int = 64
     conv_out_channels: int = 8
     num_extra_dilated_blocks: int = 0  # deeper stack for the wide variant
+    causal: bool = False  # causal (left-only-context) conv stack for
+    # zero-lookahead streaming; train with it on for streaming deployment
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":

@@ -261,6 +261,7 @@ class MaskNet(nn.Module):
     activation: str = "relu"
     num_extra_dilated_blocks: int = 0
     streaming: bool = False
+    causal: bool = False  # left-only conv context (zero-lookahead streaming)
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -306,6 +307,11 @@ class MaskNet(nn.Module):
             )
         )
         self.conv_blocks = blocks
+        # one-sided time extents e_i = (kt-1)*dt/2 per block, for the
+        # causal-mode pre-shift (static python ints, not params)
+        self._time_extents = tuple(
+            (k[0] - 1) * d[0] // 2 for k, d in specs
+        ) + (0,)  # the 1x1 output conv
         if self.streaming:
             self.lstm = UniLSTM(self.lstm_dim, self.param_dtype, self.compute_dtype, name="lstm")
         else:
@@ -321,8 +327,35 @@ class MaskNet(nn.Module):
         extra = sum(2 * 32 * 2**i for i in range(self.num_extra_dilated_blocks))
         return BASE_CONV_CONTEXT + extra
 
+    @property
+    def conv_context_left(self) -> int:
+        """Past frames each output frame depends on.  Causal mode folds
+        the whole receptive field into the past (2x the symmetric
+        one-sided context)."""
+        return 2 * self.conv_context if self.causal else self.conv_context
+
+    @property
+    def conv_context_right(self) -> int:
+        """Future frames each output frame depends on (the streaming
+        lookahead); zero in causal mode."""
+        return 0 if self.causal else self.conv_context
+
     def conv_features(self, spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """``[B, T, F]`` → flattened conv features ``[B, T, 8F]``."""
+        """``[B, T, F]`` → flattened conv features ``[B, T, 8F]``.
+
+        In causal mode each block's input is pre-shifted right (in time)
+        by the block's one-sided extent e: symmetric-SAME-conv(shift(x, e))
+        ≡ left-padded causal conv — output frame t then reads input
+        frames [t-2e, t] only, layer by layer, so the whole stack needs
+        zero lookahead (`conv_context_right == 0`)."""
+
+        def maybe_shift(h, e):
+            if not self.causal or e == 0:
+                return h
+            pad = [(0, 0)] * h.ndim
+            pad[1] = (e, 0)
+            return jnp.pad(h, pad)[:, : h.shape[1]]
+
         B, T, F = spec.shape
         x = spec.astype(self.compute_dtype)[..., None]  # NHWC
         if self.conv_blocks[0].folded:
@@ -330,12 +363,12 @@ class MaskNet(nn.Module):
 
             # fold ONCE for the whole stack (pad + free bitcast reshape)
             xf = fold_input(x)
-            for block in self.conv_blocks:
-                xf = block(xf, train)
+            for block, e in zip(self.conv_blocks, self._time_extents):
+                xf = block(maybe_shift(xf, e), train)
             x = unfold_output(xf, F)
         else:
-            for block in self.conv_blocks:
-                x = block(x, train)
+            for block, e in zip(self.conv_blocks, self._time_extents):
+                x = block(maybe_shift(x, e), train)
         # [B, T, F, 8] → [B, T, 8F].  The reference flattens channel-major
         # ([B,C,T,F].transpose(1,2).view → index c*F+f, `:73-75`); we
         # flatten frequency-major (f*C+c), which is FREE from NHWC, while
@@ -402,5 +435,6 @@ def make_masknet(config: Config, streaming: bool = False) -> MaskNet:
         activation=act,
         num_extra_dilated_blocks=m.num_extra_dilated_blocks,
         streaming=streaming,
+        causal=m.causal,
         compute_dtype=dtype,
     )

@@ -18,10 +18,14 @@ that carries all state explicitly —
   interior samples are normalized by the hop-periodic steady-state
   window-sumsquare envelope.
 
-Algorithmic latency = ``ctx·hop + (n_fft − hop)`` samples
-(= 11440 ≈ 715 ms at the voicefilter backend's 16 kHz params, dominated
-by the conv lookahead).  Use a causal-ified conv (future work) to shrink
-it.
+Algorithmic latency = ``ctx_right·hop + (n_fft − hop)`` samples:
+
+- default (symmetric convs): 65·160 + 1040 = 11440 ≈ **715 ms**,
+  dominated by the conv lookahead;
+- ``model.causal = true`` (causal conv stack, `masknet.py` pre-shift):
+  the lookahead is zero, leaving only the STFT overlap — 1040 ≈
+  **65 ms**.  Train with the flag on so weights match the causal
+  geometry.
 """
 
 from __future__ import annotations
@@ -93,9 +97,15 @@ class StreamingSeparator:
         self.n_fft, self.hop, self.win = p.n_fft, p.hop_length, p.win_length
         self.F = p.num_freq
         self.C = chunk_frames
-        self.ctx = self.model.conv_context
+        # asymmetric conv context: (left, right) frames each emitted
+        # frame needs; right == 0 for a causal model (`model.causal`),
+        # which removes the conv lookahead from the latency entirely
+        self.ctx_left = self.model.conv_context_left
+        self.ctx_right = self.model.conv_context_right
+        self.ctx = self.model.conv_context  # kept for introspection
+        self.hist_frames = self.ctx_left + self.ctx_right
         self.chunk_samples = self.C * self.hop
-        self.latency_samples = self.ctx * self.hop + (self.n_fft - self.hop)
+        self.latency_samples = self.ctx_right * self.hop + (self.n_fft - self.hop)
 
         self._fwd_cos, self._fwd_sin = stft_basis(self.n_fft, self.win, "hann")
         self._inv_cos, self._inv_sin = istft_basis(self.n_fft, self.win, synthesis_window)
@@ -111,8 +121,8 @@ class StreamingSeparator:
         z = lambda *s: jnp.zeros(s, jnp.float32)
         return StreamState(
             sample_tail=z(B, self.n_fft - self.hop),
-            spec_hist=z(B, 2 * self.ctx, self.F),
-            phase_hist=z(B, 2 * self.ctx, self.F),
+            spec_hist=z(B, self.hist_frames, self.F),
+            phase_hist=z(B, self.hist_frames, self.F),
             lstm_h=z(B, H),
             lstm_c=z(B, H),
             ola_tail=z(B, self.n_fft - self.hop),
@@ -123,7 +133,7 @@ class StreamingSeparator:
     ) -> Tuple[StreamState, jnp.ndarray]:
         """``samples [B, C*hop]`` in → ``[B, C*hop]`` separated out (delayed)."""
         B = samples.shape[0]
-        C, ctx, hop, n_fft = self.C, self.ctx, self.hop, self.n_fft
+        C, ctx, hop, n_fft = self.C, self.ctx_left, self.hop, self.n_fft
 
         # --- STFT of the C new frames ---------------------------------
         buf = jnp.concatenate([state.sample_tail, samples], axis=-1)

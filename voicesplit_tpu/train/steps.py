@@ -78,6 +78,8 @@ def make_train_step(
             train=True,
             mutable=["batch_stats"],
         )
+        if isinstance(mask, tuple):  # streaming model: (mask, lstm_carry)
+            mask = mask[0]
         output = mask * mixed_spec
         loss = _loss_from_outputs(
             config, ap, output, target_spec, mixed_phase, batch["wav_len"]
@@ -126,6 +128,8 @@ def make_eval_step(config: Config, model, ap: AudioProcessor):
             batch["emb"],
             train=False,
         )
+        if isinstance(mask, tuple):  # streaming model: (mask, lstm_carry)
+            mask = mask[0]
         output = mask * mixed_spec
         loss = _loss_from_outputs(
             config, ap, output, target_spec, mixed_phase, batch["wav_len"]
