@@ -57,6 +57,9 @@ def main():
                          help="hold out the last N speakers entirely for eval "
                               "(open-set: unseen speakers; requires --emb spectral "
                               "and N >= 2)")
+    ap_args.add_argument("--causal", action="store_true",
+                         help="train the deployable zero-lookahead model: "
+                         "causal conv stack + unidirectional LSTM")
     ap_args.add_argument("--out", default="logs/demo_train")
     args = ap_args.parse_args()
 
@@ -100,8 +103,9 @@ def main():
     c.train_config.batch_size = args.batch_size
     if args.lr is not None:
         c.train_config.learning_rate = args.lr
+    c.model.causal = args.causal
     ap = AudioProcessor(c.audio)
-    model = make_masknet(c)
+    model = make_masknet(c, streaming=args.causal)
     tx = make_optimizer(c)
     B = args.batch_size
     L = int(ap.sample_rate * c.audio.audio_len)
@@ -155,7 +159,8 @@ def main():
     dt = time.time() - t0
 
     report = {
-        "config": "voicesplit + si_snr (flagship)",
+        "config": "voicesplit + si_snr (flagship)"
+        + (" causal+uniLSTM" if args.causal else ""),
         "emb_mode": args.emb,
         "eval_protocol": (
             f"open-set: {args.holdout} held-out speakers" if args.holdout
