@@ -167,3 +167,38 @@ def test_explosion_guard_flags_nan(setup):
     batch["mixed_wav"] = np.full_like(batch["mixed_wav"], np.nan)
     _, metrics = step_fn(state, batch)
     assert bool(jax.device_get(metrics)["loss_exploded"])
+
+
+@pytest.mark.parametrize("backend", ["wavernn", "waveglow"])
+def test_train_step_alternative_backends(backend, tmp_path):
+    """The full jitted train step works through the same facade with the
+    alternative audio backends (reference's 3-backend capability —
+    `utils/audio_processor.py:19-59`), not just voicefilter."""
+    from voicesplit_tpu.data import BatchIterator, SeparationDataset, build_synthetic_dataset, discover_samples
+
+    c = Config()
+    c.audio.backend = backend
+    c.loss.loss_name = "power_law_compression"
+    c.audio.audio_len = 0.5
+    c.model.lstm_dim = 16
+    c.model.fc1_dim = 24
+    c.model.conv_channels = 4
+    c.model.conv_out_channels = 2
+    c.train_config.batch_size = 2
+    c.train_config.compute_dtype = "float32"
+    ap = AudioProcessor(c.audio)
+    c.model.fc2_dim = ap.num_freq  # mask width follows the backend
+
+    d = str(tmp_path / "data")
+    build_synthetic_dataset(d, 2, ap.sample_rate, c.audio.audio_len, seed=0)
+    ds = SeparationDataset(discover_samples(d, c.dataset.format), ap, c.audio.audio_len)
+    loader = BatchIterator(ds, 2, shuffle=False)
+    model = make_masknet(c)
+    tx = make_optimizer(c)
+    state = create_train_state(
+        c, model, jax.random.PRNGKey(0), (2, ds.n_frames, ap.num_freq), tx
+    )
+    step = make_train_step(c, model, ap, tx, donate=False)
+    state, metrics = step(state, next(loader))
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss)

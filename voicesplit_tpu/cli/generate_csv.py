@@ -63,8 +63,12 @@ def main(argv=None):
         return None, None
 
     rows = []
-    for i, clean_spk in enumerate(speakers):
-        for intf_spk in speakers[i + 1 :]:
+    # every ORDERED speaker pair (reference builds N*(N-1) rows; unordered
+    # pairs would skew which speakers ever appear as the clean target)
+    for clean_spk in speakers:
+        for intf_spk in speakers:
+            if intf_spk == clean_spk:
+                continue
             clean, clean_sfx = pick(clean_spk)
             if clean is None:
                 continue

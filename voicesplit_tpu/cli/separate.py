@@ -61,7 +61,11 @@ def main(argv=None):
             load_torch_state_dict,
         )
 
-        encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
+        p = config.audio.active
+        # waveglow's config field is n_mel_channels (reference schema)
+        encoder = SpeakerEncoder(
+            num_mels=getattr(p, "num_mels", getattr(p, "n_mel_channels", 40))
+        )
         if args.encoder_checkpoint:
             import torch
 

@@ -76,16 +76,30 @@ def discover_samples(data_dir: str, fmt: DatasetFormat, drop_sentinels: bool = T
             hits = sorted(glob(os.path.join(data_dir, pattern[:-4] + ".pt")))
         return hits
 
-    embs = find(fmt.emb)
-    targets = find(fmt.target_wav)
-    mixeds = find(fmt.mixed_wav)
-    if not (len(embs) == len(targets) == len(mixeds)):
+    def key_of(path: str, pattern: str) -> str:
+        """Shared prefix: basename minus the pattern's non-* suffix
+        (extension-insensitive — .pt embeddings may resolve as .npy)."""
+        base = os.path.basename(path)
+        suffix_root = os.path.splitext(pattern.split("*", 1)[1])[0]
+        cut = base.rfind(suffix_root)
+        return base[:cut] if cut > 0 else os.path.splitext(base)[0]
+
+    by_key = {}
+    for role, pattern in (("emb", fmt.emb), ("target", fmt.target_wav),
+                          ("mixed", fmt.mixed_wav)):
+        by_key[role] = {key_of(p, pattern): p for p in find(pattern)}
+    keys = {r: set(d) for r, d in by_key.items()}
+    if not (keys["emb"] == keys["target"] == keys["mixed"]):
+        missing = (keys["emb"] ^ keys["target"]) | (keys["emb"] ^ keys["mixed"])
         raise ValueError(
-            f"inconsistent dataset in {data_dir}: "
-            f"{len(embs)} embs / {len(targets)} targets / {len(mixeds)} mixed"
+            f"inconsistent dataset in {data_dir}: triplet keys disagree "
+            f"(e.g. {sorted(missing)[:5]}) — "
+            f"{len(keys['emb'])} embs / {len(keys['target'])} targets / "
+            f"{len(keys['mixed'])} mixed"
         )
     samples = []
-    for e, t, m in zip(embs, targets, mixeds):
+    for k in sorted(keys["emb"]):
+        e, t, m = by_key["emb"][k], by_key["target"][k], by_key["mixed"][k]
         if drop_sentinels:
             arr = _load_array(e)
             if arr.size <= 1:  # failed-embedding sentinel tensor([0])
@@ -176,8 +190,9 @@ class BatchIterator:
         num_shards: int = 1,
         pad_last: bool = False,
     ):
-        if num_shards > 1 and batch_size % 1 != 0:
-            raise ValueError("batch_size must be per-host batch")
+        # note: batch_size is the PER-HOST batch; the global batch is
+        # batch_size * num_shards (validated upstream by the trainer's
+        # mesh construction, which knows the device topology)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -202,7 +217,11 @@ class BatchIterator:
             order = np.random.default_rng((self._state.seed, epoch)).permutation(n)
         else:
             order = np.arange(n)
-        return order[self.shard_id :: self.num_shards]
+        # every shard must see the SAME item count: a longer shard would
+        # run extra train steps whose collectives the other hosts never
+        # join (multi-host deadlock when n % num_shards != 0)
+        per_shard = n // self.num_shards
+        return order[self.shard_id :: self.num_shards][:per_shard]
 
     def batches_per_epoch(self) -> int:
         n = len(self._epoch_order(0))

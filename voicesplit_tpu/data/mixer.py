@@ -132,9 +132,15 @@ def mix_sequential(
     intf_r = _random_amp(interference, rng)[:n_intf]
     noise_r = _random_amp(noise, rng)
 
-    # noise scaled relative to signal floor (`:104-110`)
-    lo = rng.uniform(min(clean_audio.min(), interference.min()), -0.1)
-    hi = -lo - rng.uniform(0.0, 0.02)
+    # noise scaled relative to signal floor (`:104-110`).  Bounds are
+    # sorted: for quiet inputs (floor > -0.1, e.g. low-amplitude clips
+    # after trim) the reference's uniform(floor, -0.1) has low > high
+    # and numpy raises — the sample should mix, not crash the run.
+    floor = float(min(clean_audio.min(), interference.min()))
+    lo = float(rng.uniform(*sorted((floor, -0.1))))
+    # reference semantics (hi just below -lo); clamped positive so tiny
+    # |lo| can't push hi below lo
+    hi = max(-lo - float(rng.uniform(0.0, 0.02)), 0.5 * -lo)
     noise = _minmax_scale(noise, lo, hi)
 
     clean_audio = clean_audio[:n_clean]

@@ -155,7 +155,10 @@ class NativeBatchIterator:
             order = np.random.default_rng((self._state.seed, epoch)).permutation(n)
         else:
             order = np.arange(n)
-        return order[self.shard_id :: self.num_shards]
+        # equal shard lengths (mirrors BatchIterator — a longer shard
+        # would desync multi-host collectives)
+        per_shard = n // self.num_shards
+        return order[self.shard_id :: self.num_shards][:per_shard]
 
     def batches_per_epoch(self) -> int:
         return len(self._epoch_order(0)) // self.batch_size

@@ -119,6 +119,11 @@ class AudioProcessor:
                 "mf,...tf->...tm", jnp.asarray(self.mel_basis), mag,
                 precision=jax.lax.Precision.HIGHEST,
             )
+        if self.backend == "waveglow":
+            # reference WaveGlow dynamic-range compression: natural-log
+            # magnitudes, ln(clamp(x, 1e-5)), NO dB/[0,1] normalization
+            # (`utils/audio.py:49-61`, `utils/audio_processor.py:361-373`)
+            return jnp.log(jnp.maximum(mag, 1e-5)), phase
         S = self._amp_to_db_floored(mag) - self.ref_level_db
         return self._normalize_generic(S), phase
 
@@ -150,10 +155,16 @@ class AudioProcessor:
         with the provided (mixture) phase.
         """
         if self.backend == "voicefilter":
-            S = denormalize_db(spec, self.min_level_db) + self.ref_level_db
+            mag = db_to_amp(denormalize_db(spec, self.min_level_db) + self.ref_level_db)
+        elif self.backend == "waveglow":
+            mag = jnp.exp(spec)  # inverse dynamic-range compression
         else:
-            S = self._denormalize_generic(spec) + self.ref_level_db
-        mag = db_to_amp(S)
+            mag = db_to_amp(self._denormalize_generic(spec) + self.ref_level_db)
+        if self.backend != "voicefilter" and self.mel_spec:
+            # mel backends: project back to linear frequency before the
+            # iSTFT (the host path does this too); without it the
+            # [..., T, n_mels] magnitudes can't meet the [..., T, F] phase
+            mag = self.mel_to_linear(mag)
         wav = istft_magphase(
             mag, phase, self.n_fft, self.hop_length, self.win_length,
             window=self.synthesis_window, length=length,
@@ -260,10 +271,11 @@ class AudioProcessor:
         if phase is not None:
             return np.asarray(self._jit_spec2wav(spec, jnp.asarray(phase, jnp.float32)))
         if self.backend == "voicefilter":
-            S = denormalize_db(spec, self.min_level_db) + self.ref_level_db
+            mag = db_to_amp(denormalize_db(spec, self.min_level_db) + self.ref_level_db)
+        elif self.backend == "waveglow":
+            mag = jnp.exp(spec)  # inverse dynamic-range compression
         else:
-            S = self._denormalize_generic(spec) + self.ref_level_db
-        mag = db_to_amp(S)
+            mag = db_to_amp(self._denormalize_generic(spec) + self.ref_level_db)
         if self.backend != "voicefilter" and self.mel_spec:
             # mel → linear before Griffin-Lim (reference `inv_mel_spectrogram`,
             # `utils/audio_processor.py:250-259`)
@@ -285,7 +297,8 @@ class AudioProcessor:
         wav = audio_io.load_wav(path, self.sample_rate)
         if self.backend == "wavernn" and getattr(self.params, "do_trim_silence", False):
             margin = int(self.sample_rate * 0.1)
-            wav = wav[margin:-margin]
+            if len(wav) > 2 * margin:  # clips under 0.2 s can't afford the margin
+                wav = wav[margin:-margin]
             wav, _ = audio_io.trim_silence(wav, top_db=40, frame_length=1024, hop_length=256)
         return wav
 

@@ -105,6 +105,67 @@ def istft_basis(
     return cos_i, sin_i
 
 
+# ---------------------------------------------------------------------------
+# In-graph basis builders.
+#
+# The numpy bases above are exact but, closed over inside jit, they embed
+# multi-MB constants in every compiled program — the tunneled dev
+# platform's remote-compile rejects large HLO payloads (HTTP 413 on the
+# Griffin-Lim program), and big payloads slow every compile.  These build
+# the same bases from iota INSIDE the graph.  Accuracy: the DFT angle is
+# reduced exactly first — (n·f) mod n_fft in int32 (max n_fft²/4 ≪ 2³¹) —
+# so fp32 cos/sin see arguments in [0, 2π) and match the float64-computed
+# numpy bases to ~1e-7 (without the reduction, fp32 cos at ~4e3 rad loses
+# ~1e-4).  Golden librosa/torch parity tests pass unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _stft_basis_ingraph(
+    n_fft: int, win_length: int, window: str = "hann",
+    periodic: bool | None = None, dtype=jnp.float32,
+):
+    F = n_fft // 2 + 1
+    w = jnp.asarray(pad_center(get_window(window, win_length, periodic), n_fft), dtype)
+    n = jnp.arange(n_fft, dtype=jnp.int32)[:, None]
+    f = jnp.arange(F, dtype=jnp.int32)[None, :]
+    ang = ((n * f) % n_fft).astype(dtype) * jnp.asarray(2.0 * np.pi / n_fft, dtype)
+    cos_b = jnp.cos(ang) * w[:, None]
+    sin_b = -jnp.sin(ang) * w[:, None]
+    return cos_b, sin_b
+
+
+def _istft_basis_ingraph(
+    n_fft: int, win_length: int, window: str = "hann",
+    periodic: bool | None = None, dtype=jnp.float32,
+):
+    F = n_fft // 2 + 1
+    w = jnp.asarray(pad_center(get_window(window, win_length, periodic), n_fft), dtype)
+    f = jnp.arange(F, dtype=jnp.int32)[:, None]
+    n = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+    ang = ((f * n) % n_fft).astype(dtype) * jnp.asarray(2.0 * np.pi / n_fft, dtype)
+    coef = jnp.full((F, 1), 2.0, dtype)
+    coef = coef.at[0, 0].set(1.0)
+    if n_fft % 2 == 0:
+        coef = coef.at[-1, 0].set(1.0)
+    scale = coef / jnp.asarray(n_fft, dtype)
+    cos_i = scale * jnp.cos(ang) * w[None, :]
+    sin_i = -scale * jnp.sin(ang) * w[None, :]
+    return cos_i, sin_i
+
+
+def _overlap_add_matrix_ingraph(
+    n_frames: int, n_fft: int, hop_length: int, dtype=jnp.float32
+):
+    sub = math.gcd(n_fft, hop_length)
+    fsub = n_fft // sub
+    step = hop_length // sub
+    out_sub = (n_frames - 1) * step + fsub
+    rows = jnp.arange(out_sub, dtype=jnp.int32)[:, None]
+    col = jnp.arange(n_frames * fsub, dtype=jnp.int32)[None, :]
+    target = (col // fsub) * step + (col % fsub)
+    return (rows == target).astype(dtype)
+
+
 @lru_cache(maxsize=None)
 def _overlap_add_matrix(n_frames: int, n_fft: int, hop_length: int) -> np.ndarray:
     """0/1 scatter matrix ``M [out_subframes, n_frames * frame_subframes]``.
@@ -205,10 +266,10 @@ def stft(
     Frames come from the hop-block decomposition in `frame_signal`
     (stride-1 slices, no gather); the DFT is one big basis matmul.
     """
-    cos_b, sin_b = stft_basis(n_fft, win_length, window)
+    cos_b, sin_b = _stft_basis_ingraph(n_fft, win_length, window, dtype=dtype)
     frames = frame_signal(y, n_fft, hop_length, center).astype(dtype)
-    real = _matmul(frames, jnp.asarray(cos_b, dtype))
-    imag = _matmul(frames, jnp.asarray(sin_b, dtype))
+    real = _matmul(frames, cos_b)
+    imag = _matmul(frames, sin_b)
     return real, imag
 
 
@@ -231,7 +292,7 @@ def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
     """Overlap-add ``[..., T, n_fft]`` → ``[..., (T-1)*hop + n_fft]`` as a matmul."""
     *lead, T, n_fft = frames.shape
     sub = math.gcd(n_fft, hop_length)
-    M = jnp.asarray(_overlap_add_matrix(T, n_fft, hop_length), frames.dtype)
+    M = _overlap_add_matrix_ingraph(T, n_fft, hop_length, frames.dtype)
     subframes = frames.reshape(*lead, T * (n_fft // sub), sub)
     out = jnp.einsum("st,...tk->...sk", M, subframes, precision=_PRECISION)
     return out.reshape(*lead, -1)
@@ -257,10 +318,10 @@ def istft(
     `utils/audio_processor.py:509`).  Fully differentiable.
     """
     T = real.shape[-2]
-    cos_i, sin_i = istft_basis(n_fft, win_length, window, periodic)
-    frames = _matmul(real, jnp.asarray(cos_i, real.dtype)) + _matmul(
-        imag, jnp.asarray(sin_i, real.dtype)
+    cos_i, sin_i = _istft_basis_ingraph(
+        n_fft, win_length, window, periodic, dtype=real.dtype
     )
+    frames = _matmul(real, cos_i) + _matmul(imag, sin_i)
     y = overlap_add(frames, hop_length)
     env = window_sumsquare(T, n_fft, hop_length, win_length, window, periodic)
     env_safe = np.where(env > _TINY, env, 1.0)

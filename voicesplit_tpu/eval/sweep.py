@@ -68,6 +68,17 @@ def sweep_checkpoints(
             best_loss, best_loss_path = m["loss"], path
 
     prefix = "fast_" if fast else ""
+    if best_path is None:
+        # every checkpoint's metric was NaN (diverged run): report it
+        # instead of crashing on copyfile(None) AFTER the whole sweep ran
+        print(" ! sweep: all checkpoints scored NaN; no best checkpoint copied")
+        return {
+            "results": results,
+            "best_path": None,
+            "best_metric": float("nan"),
+            "best_loss_path": best_loss_path,
+            "best_loss": float(best_loss),
+        }
     shutil.copyfile(best_path, os.path.join(out_dir, f"{prefix}best_checkpoint.msgpack"))
     if best_loss_path:
         shutil.copyfile(

@@ -22,10 +22,15 @@ def power_law_compressed_loss(
     ε is added before compression to keep the ``x^0.3`` gradient finite at
     zero (the reference's NaN guard, `utils/generic_utils.py:359-364`).
     """
-    prediction = prediction + epsilon
-    target = target + epsilon
-    pred_c = jnp.power(prediction, power)
-    tgt_c = jnp.power(target, power)
+    # signed power compression: sign(x)·|x|^p.  Identical to the
+    # reference's x^p on its non-negative [0,1] voicefilter specs, and
+    # finite (not NaN) on backends whose specs go negative (waveglow's
+    # ln-compressed mels) — pow(neg, 0.3) is NaN in both torch and jax.
+    def compress(x):
+        return jnp.sign(x) * jnp.power(jnp.abs(x) + epsilon, power)
+
+    pred_c = compress(prediction)
+    tgt_c = compress(target)
     spec_loss = jnp.mean(jnp.square(jnp.abs(tgt_c) - jnp.abs(pred_c)))
     complex_loss = jnp.mean(jnp.square(tgt_c - pred_c))
     return spec_loss + complex_loss * complex_loss_ratio
