@@ -69,29 +69,36 @@ def tapsum_conv_enabled() -> bool:
 class _FoldedConv(nn.Module):
     """Conv in folded frequency layout (`ops/conv_fold.py`), with the same
     param names/shapes as `nn.Conv` so checkpoints and sharding rules are
-    interchangeable with every other conv path."""
+    interchangeable with every other conv path.  Params are declared in
+    ``setup`` so the parent can read them directly (the fused Pallas
+    chain, `ops/conv_fused.py`, consumes whole-stack weights)."""
 
     features: int
+    in_features: int
     kernel_size: Tuple[int, int]
     kernel_dilation: Tuple[int, int]
     dtype: jnp.dtype
     param_dtype: jnp.dtype
 
-    @nn.compact
-    def __call__(self, xf: jnp.ndarray) -> jnp.ndarray:
-        from voicesplit_tpu.ops.conv_fold import FOLD, conv2d_folded
-
+    def setup(self):
         kt, kf = self.kernel_size
-        cin = xf.shape[-1] // FOLD
-        kernel = self.param(
+        self.kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (kt, kf, cin, self.features),
+            (kt, kf, self.in_features, self.features),
             self.param_dtype,
         )
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+
+    def __call__(self, xf: jnp.ndarray) -> jnp.ndarray:
+        from voicesplit_tpu.ops.conv_fold import conv2d_folded
+
         return conv2d_folded(
-            xf.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype),
+            xf.astype(self.dtype),
+            self.kernel.astype(self.dtype),
+            self.bias.astype(self.dtype),
             self.kernel_dilation,
         )
 
@@ -107,35 +114,40 @@ class _FoldedBatchNorm(nn.Module):
 
     num_freq: int
     act: str
+    features: int = 64
     momentum: float = 0.9
     epsilon: float = 1e-5
 
-    @nn.compact
-    def __call__(self, xf: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
-        from voicesplit_tpu.ops.bn_act import folded_bn_act_eval, folded_bn_act_train
-        from voicesplit_tpu.ops.conv_fold import FOLD
+    def setup(self):
+        C = self.features
+        self.scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
+        self.ra_mean = self.variable("batch_stats", "mean",
+                                     lambda: jnp.zeros((C,), jnp.float32))
+        self.ra_var = self.variable("batch_stats", "var",
+                                    lambda: jnp.ones((C,), jnp.float32))
 
-        C = xf.shape[-1] // FOLD
-        scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros((C,), jnp.float32))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones((C,), jnp.float32))
-        if use_running_average:
-            return folded_bn_act_eval(
-                xf, scale, bias, ra_mean.value, ra_var.value,
-                self.num_freq, self.act, self.epsilon,
-            )
-        y, mean, var = folded_bn_act_train(
-            xf, scale, bias, self.num_freq, self.act, self.epsilon
-        )
+    def update_running(self, mean: jnp.ndarray, var: jnp.ndarray):
+        """Momentum update of the running statistics (train steps only)."""
         if not self.is_initializing():
             m = self.momentum
             mean = jax.lax.stop_gradient(mean)
             var = jax.lax.stop_gradient(var)
-            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-            ra_var.value = m * ra_var.value + (1.0 - m) * var
+            self.ra_mean.value = m * self.ra_mean.value + (1.0 - m) * mean
+            self.ra_var.value = m * self.ra_var.value + (1.0 - m) * var
+
+    def __call__(self, xf: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+        from voicesplit_tpu.ops.bn_act import folded_bn_act_eval, folded_bn_act_train
+
+        if use_running_average:
+            return folded_bn_act_eval(
+                xf, self.scale, self.bias, self.ra_mean.value, self.ra_var.value,
+                self.num_freq, self.act, self.epsilon,
+            )
+        y, mean, var = folded_bn_act_train(
+            xf, self.scale, self.bias, self.num_freq, self.act, self.epsilon
+        )
+        self.update_running(mean, var)
         return y
 
 
@@ -177,9 +189,14 @@ class _CustomConv(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """ZeroPad → Conv2D → BatchNorm → activation (one reference conv layer)."""
+    """ZeroPad → Conv2D → BatchNorm → activation (one reference conv layer).
+
+    Submodules are declared in ``setup`` (names Conv_0 / BatchNorm_0 as
+    before, so checkpoints are unchanged) which lets `MaskNet` reach the
+    raw conv/BN params when driving the fused Pallas chain."""
 
     features: int
+    in_features: int
     kernel: Tuple[int, int]  # (time, freq)
     dilation: Tuple[int, int] = (1, 1)
     activation: str = "relu"
@@ -188,40 +205,34 @@ class ConvBlock(nn.Module):
     folded: bool = False  # input/output in folded frequency layout
     num_freq: int = 0  # real F (folded layout bookkeeping)
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        kt, kf = self.kernel
-        dt, df = self.dilation
-        # explicit "same" padding, matching the reference's ZeroPad2d sizes
-        pad_t = (kt - 1) * dt // 2
-        pad_f = (kf - 1) * df // 2
+    def setup(self):
         from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
 
         if self.folded:
-            xf = _FoldedConv(
-                self.features, self.kernel, self.dilation,
+            self.conv = _FoldedConv(
+                self.features, self.in_features, self.kernel, self.dilation,
                 self.compute_dtype, self.param_dtype, name="Conv_0",
-            )(x)
-            # fused BN+act zeroes the pad column on read (conv garbage
-            # must not pollute statistics) and emits it zero for the
-            # next layer's conv reads
-            return _FoldedBatchNorm(
-                self.num_freq, self.activation, name="BatchNorm_0"
-            )(xf, use_running_average=not train)
-        if tapsum_conv_enabled():
-            x = _CustomConv(
+            )
+            self.bn = _FoldedBatchNorm(
+                self.num_freq, self.activation, self.features, name="BatchNorm_0"
+            )
+        elif tapsum_conv_enabled() or pallas_conv_available():
+            impl = "tapsum" if tapsum_conv_enabled() else "pallas"
+            self.conv = _CustomConv(
                 self.features, self.kernel, self.dilation,
                 self.compute_dtype, self.param_dtype,
-                impl="tapsum", name="Conv_0",
-            )(x)
-        elif pallas_conv_available():
-            x = _CustomConv(
-                self.features, self.kernel, self.dilation,
-                self.compute_dtype, self.param_dtype,
-                impl="pallas", name="Conv_0",
-            )(x)
+                impl=impl, name="Conv_0",
+            )
+            self.bn = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype,
+                param_dtype=jnp.float32, name="BatchNorm_0",
+            )
         else:
-            x = nn.Conv(
+            kt, kf = self.kernel
+            dt, df = self.dilation
+            pad_t = (kt - 1) * dt // 2  # reference's explicit ZeroPad2d sizes
+            pad_f = (kf - 1) * df // 2
+            self.conv = nn.Conv(
                 self.features,
                 kernel_size=self.kernel,
                 kernel_dilation=self.dilation,
@@ -230,14 +241,20 @@ class ConvBlock(nn.Module):
                 dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 name="Conv_0",
-            )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-        )(x)
+            )
+            self.bn = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype,
+                param_dtype=jnp.float32, name="BatchNorm_0",
+            )
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.folded:
+            # fused BN+act zeroes the pad column on read (conv garbage
+            # must not pollute statistics) and emits it zero for the
+            # next layer's conv reads
+            return self.bn(self.conv(x), use_running_average=not train)
+        x = self.conv(x)
+        x = self.bn(x, use_running_average=not train)
         return _ACTIVATIONS[self.activation](x)
 
 
@@ -293,7 +310,8 @@ class MaskNet(nn.Module):
             specs.append(((5, 5), (32 * 2**i, 1)))  # wide-variant extension
         blocks = [
             ConvBlock(
-                self.conv_channels, k, d, self.activation,
+                self.conv_channels, 1 if i == 0 else self.conv_channels,
+                k, d, self.activation,
                 self.param_dtype, self.compute_dtype,
                 folded=folded, num_freq=self.num_freq, name=f"conv{i + 1}",
             )
@@ -301,11 +319,14 @@ class MaskNet(nn.Module):
         ]
         blocks.append(
             ConvBlock(
-                self.conv_out_channels, (1, 1), (1, 1), self.activation,
+                self.conv_out_channels, self.conv_channels, (1, 1), (1, 1),
+                self.activation,
                 self.param_dtype, self.compute_dtype,
                 folded=folded, num_freq=self.num_freq, name=f"conv{len(specs) + 1}",
             )
         )
+        # fused-chain layers (c2=2C): ((kt, kf), time_dilation)
+        self._chain_specs = tuple((k, d[0]) for k, d in specs[1:])
         self.conv_blocks = blocks
         # one-sided time extents e_i = (kt-1)*dt/2 per block, for the
         # causal-mode pre-shift (static python ints, not params)
@@ -320,6 +341,45 @@ class MaskNet(nn.Module):
                             param_dtype=self.param_dtype, name="fc1")
         self.fc2 = nn.Dense(self.fc2_dim, dtype=self.compute_dtype,
                             param_dtype=self.param_dtype, name="fc2")
+
+    def _use_fused_chain(self, train: bool) -> bool:
+        """Fused Pallas conv chain (`ops/conv_fused.py`): train-mode,
+        non-causal, folded layout with MXU-native 2C=128k channels."""
+        from voicesplit_tpu.ops.conv_fused import fused_chain_enabled
+
+        return (
+            train
+            and not self.causal
+            and fused_chain_enabled()
+            and (2 * self.conv_channels) % 128 == 0
+        )
+
+    def _fused_chain_features(self, xf: jnp.ndarray, T: int) -> jnp.ndarray:
+        """Heavy conv stack as ONE fused Pallas chain.
+
+        Layer map: block[0] (the (1,7) 1-channel layer) runs as usual and
+        produces the chain input y1; the chain computes block[1..n-2]'s
+        convs with every internal BN+act fused into kernel prologues and
+        each layer's batch statistics fused into its epilogue; block
+        [n-2]'s BN+act is applied by its own `_FoldedBatchNorm` (reusing
+        the default custom-VJP op); block[n-1] (the 1x1 projection) runs
+        as usual."""
+        from voicesplit_tpu.ops.conv_fused import make_chain
+
+        y1 = self.conv_blocks[0](xf, train=True)
+        chain_blocks = self.conv_blocks[1:-1]
+        chain = make_chain(self._chain_specs, T, self.num_freq, self.activation)
+        weights = tuple(b.conv.kernel for b in chain_blocks)
+        cbiases = tuple(b.conv.bias for b in chain_blocks)
+        scales = tuple(b.bn.scale for b in chain_blocks[:-1])
+        bbiases = tuple(b.bn.bias for b in chain_blocks[:-1])
+        raw, means, vars_ = chain(y1, weights, cbiases, scales, bbiases)
+        # running-statistic updates for the chain-internal BNs (the
+        # final block's update happens inside its own bn call below)
+        for b, m, v in zip(chain_blocks[:-1], means[:-1], vars_[:-1]):
+            b.bn.update_running(m, v)
+        hf = chain_blocks[-1].bn(raw, use_running_average=False)
+        return self.conv_blocks[-1](hf, train=True)
 
     @property
     def conv_context(self) -> int:
@@ -363,8 +423,11 @@ class MaskNet(nn.Module):
 
             # fold ONCE for the whole stack (pad + free bitcast reshape)
             xf = fold_input(x)
-            for block, e in zip(self.conv_blocks, self._time_extents):
-                xf = block(maybe_shift(xf, e), train)
+            if self._use_fused_chain(train):
+                xf = self._fused_chain_features(xf, T)
+            else:
+                for block, e in zip(self.conv_blocks, self._time_extents):
+                    xf = block(maybe_shift(xf, e), train)
             x = unfold_output(xf, F)
         else:
             for block, e in zip(self.conv_blocks, self._time_extents):

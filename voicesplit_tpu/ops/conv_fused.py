@@ -1,0 +1,844 @@
+"""Fused folded-layout conv chain — Pallas TPU kernels.
+
+`ops/conv_fold.py` (the default conv path) runs the heavy conv stack at
+~89% MXU utilization via XLA's conv emitters on the folded
+[B, T, Fb=ceil(F/2), 2C=128] layout.  What XLA cannot do is eliminate
+the BatchNorm+activation elementwise HBM passes around every conv: at
+flagship shape (B=16) the raw folded convs are 67.5 ms fwd+bwd while
+the production chain is 106 ms — ~38 ms is elementwise traffic
+(docs/KERNELS.md).  The statistics barrier (BN needs a full reduce over
+the conv output before the next layer can normalize) forces XLA to
+materialize and re-read full activations.
+
+These kernels restructure the chain so each heavy layer's HBM traffic
+is approximately one read of the previous RAW conv output and one write
+of this layer's RAW conv output:
+
+- **prologue**: the previous layer's BN-affine + activation are applied
+  on the fly to each DMA'd input window (VPU work under the MXU bound),
+  using [C] scalars derived from the previous kernel's epilogue stats;
+- **matmul core**: the folded conv as per-tap fp32-accumulated MXU
+  contractions ``acc[t,f,co] += y[t+i·dt, f+j-1, c] · Wf[i,j,c,co]`` —
+  K=128 exact, no channel padding (the failure mode of
+  `ops/conv_pallas.py`);
+- **epilogue**: per-channel fp32 sum / sum-of-squares of the raw conv
+  output accumulated across the grid — this layer's batch statistics,
+  so no separate stats pass;
+- backward: a **dgrad** kernel whose prologue computes the
+  statistics-aware BN+act backward ``d_raw`` on the fly from (dy, raw)
+  and [C] scalars (the `ops/bn_act.py` math), and a **wgrad** kernel
+  that recomputes both operands (y from raw, d_raw from dy+raw) in its
+  prologues — the normalized activations and the BN-backward tensor are
+  NEVER materialized in HBM.
+
+Frame layout: activations live in persistent zero-margined frames
+``[B, H, Wf, c2]`` with the real data at rows [TPAD, TPAD+T), cols
+[8, 8+Fb): time margins cover the largest dilation's SAME halo
+(whole-time windows make the halo dilation-independent), freq margins
+make every DMA offset/shape 8-sublane aligned.  Kernels write zeros
+outside the real region, so frames can chain without any XLA re-padding
+between layers.
+
+Replaces (when enabled) the conv+BN+act composition of reference
+`models/voicefilter/model.py:17-54`; parity vs the default folded path
+is tested in `tests/test_conv_fused.py`.  Enable with
+VOICESPLIT_FUSED_CHAIN=1 (TPU only; non-causal flagship geometry).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voicesplit_tpu.ops.conv_fold import FOLD, fold_kernel
+
+FOFF = 8  # freq-margin columns on each side of the frame
+
+
+def fused_chain_enabled() -> bool:
+    """Opt-in (VOICESPLIT_FUSED_CHAIN=1) and TPU-only."""
+    import os
+
+    if os.environ.get("VOICESPLIT_FUSED_CHAIN", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class FrameGeom:
+    """Static geometry of the padded activation frames."""
+
+    def __init__(self, T: int, num_freq: int, c2: int, max_pad_t: int, f_tile: int = 0):
+        self.T = T
+        self.F = num_freq
+        self.Fb = _ceil_to(num_freq, FOLD) // FOLD
+        self.c2 = c2
+        self.tpad = _ceil_to(max_pad_t, 8)
+        self.Tc = _ceil_to(T, 8)  # computed rows per tile
+        self.H = self.Tc + 2 * self.tpad
+        if not f_tile:
+            # flagship Fb=301 -> 3 tiles of 112 (7% padded-col waste);
+            # small geometries shrink the tile to keep nf >= 2
+            f_tile = 112
+            while f_tile > 8 and FOFF + self.Fb + 1 <= f_tile:
+                f_tile -= 8
+        self.f_tile = f_tile
+        self.nf = _ceil_to(FOFF + self.Fb + 1, f_tile) // f_tile
+        self.Wf = self.nf * f_tile
+        assert self.Wf >= FOFF + self.Fb + 1, "right freq margin must fit one halo block"
+        assert self.nf >= 2, "freq-tiled kernels assume at least 2 tiles"
+        # folded pad column: original pad freq lives at parity slots
+        # >= F - 2*(Fb-1) of the last real block (F odd => channel half)
+        self.n_freq_pad = self.Fb * FOLD - num_freq
+
+    def key(self):
+        return (self.T, self.F, self.c2, self.tpad, self.f_tile)
+
+
+def to_frame(x: jnp.ndarray, g: FrameGeom) -> jnp.ndarray:
+    """[B, T, Fb, c2] -> zero-margined frame [B, H, Wf, c2]."""
+    B = x.shape[0]
+    return jnp.pad(
+        x,
+        ((0, 0), (g.tpad, g.H - g.tpad - g.T), (FOFF, g.Wf - FOFF - g.Fb), (0, 0)),
+    )
+
+
+def from_frame(xf: jnp.ndarray, g: FrameGeom) -> jnp.ndarray:
+    """frame [B, H, Wf, c2] -> [B, T, Fb, c2] (a view-slice, fused by XLA)."""
+    return xf[:, g.tpad : g.tpad + g.T, FOFF : FOFF + g.Fb, :]
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _mask3(fi, g: FrameGeom, rows: int, row0_real: int, cols: int, col_off: int):
+    """Boolean [rows, cols, c2] mask of REAL positions.
+
+    ``row0_real``: real-time index of row 0 of the masked region;
+    ``col_off``: window/tile-relative offset such that absolute frame
+    col = fi * f_tile + col_off + c.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, g.c2), 0) + row0_real
+    f_abs = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, cols, g.c2), 1)
+        + fi * g.f_tile
+        + col_off
+    )
+    m = (r >= 0) & (r < g.T) & (f_abs >= FOFF) & (f_abs < FOFF + g.Fb)
+    if g.n_freq_pad:
+        ch = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, g.c2), 2)
+        c_real = g.c2 // FOLD
+        m &= ~((f_abs == FOFF + g.Fb - 1) & (ch >= (FOLD - g.n_freq_pad) * c_real))
+    return m
+
+
+# Single-exp mish: with u = e^z (clamped; tanh(softplus(20)) == 1.0 in
+# fp32), tanh(softplus(z)) = ((1+u)^2 - 1) / ((1+u)^2 + 1) and
+# sigmoid(z) = u / (1+u) — ONE transcendental instead of four.  This
+# matters because the kernel prologues run SEQUENTIALLY with the MXU
+# contractions (in-kernel data dependence), so VPU ops add to tile
+# time.  Also Mosaic-safe: jax.nn.softplus lowers through logaddexp's
+# isnan select (cmpf(x,x)), which Mosaic rejects on packed bf16.
+
+
+def _mish_t_sig(z):
+    u = jnp.exp(jnp.minimum(z, 20.0))
+    w = (1.0 + u) * (1.0 + u)
+    t = (w - 1.0) / (w + 1.0)
+    sig = u / (1.0 + u)
+    return t, sig
+
+
+def _act(z, act: str):
+    if act == "mish":
+        t, _ = _mish_t_sig(z)
+        return z * t
+    if act == "relu":
+        return jnp.maximum(z, 0.0)
+    raise ValueError(act)
+
+
+def _act_deriv(z, act: str):
+    if act == "mish":
+        t, sig = _mish_t_sig(z)
+        return t + z * (1.0 - t * t) * sig
+    if act == "relu":
+        return (z > 0).astype(z.dtype)
+    raise ValueError(act)
+
+
+# scalar-table rows (fp32 [8, c2], all entries pre-tiled x FOLD)
+_S_INV, _S_SHIFT, _S_MEAN, _S_R, _S_MDZ, _S_MDZX = 0, 1, 2, 3, 4, 5
+
+
+# prologues transform the DMA'd buffers IN PLACE, in static row slabs:
+# whole-window fp32 temporaries would blow the scoped-vmem stack
+# (measured: 116.8 MB > the 112 MB cap at flagship shape), and slabs
+# keep each stage's temporaries to a few MB.  fp32 on the VPU is free
+# under the MXU bound (and packed-bf16 exp/log is the less-trodden
+# Mosaic lowering).
+_SLAB = 32
+
+
+def _prologue_y_inplace(buf, slot, scal, act: str, g: FrameGeom, fi, cols, col_off):
+    """buf[slot] <- masked act(buf[slot]*inv + shift), slab by slab."""
+    for s in range(0, g.H, _SLAB):
+        e = min(g.H, s + _SLAB)
+        mask = _mask3(fi, g, e - s, s - g.tpad, cols, col_off)
+        z = buf[slot, s:e].astype(jnp.float32) * scal[_S_INV] + scal[_S_SHIFT]
+        y = _act(z, act)
+        buf[slot, s:e] = jnp.where(mask, y, jnp.zeros_like(y)).astype(buf.dtype)
+
+
+def _prologue_draw_inplace(dybuf, xbuf, slot, scal, act: str, g: FrameGeom, fi, cols, col_off):
+    """dybuf[slot] <- masked BN+act backward (ops/bn_act.py math):
+
+    d_raw = inv * (dz - mean_dz - xhat * mean_dzx),  dz = dy * act'(z).
+    """
+    for s in range(0, g.H, _SLAB):
+        e = min(g.H, s + _SLAB)
+        mask = _mask3(fi, g, e - s, s - g.tpad, cols, col_off)
+        x32 = xbuf[slot, s:e].astype(jnp.float32)
+        z = x32 * scal[_S_INV] + scal[_S_SHIFT]
+        dz = dybuf[slot, s:e].astype(jnp.float32) * _act_deriv(z, act)
+        xhat = (x32 - scal[_S_MEAN]) * scal[_S_R]
+        draw = scal[_S_INV] * (dz - scal[_S_MDZ] - xhat * scal[_S_MDZX])
+        dybuf[slot, s:e] = jnp.where(
+            mask, draw, jnp.zeros_like(draw)
+        ).astype(dybuf.dtype)
+
+
+def _window_dma(frame, xwin, sem, slot, b, fi, g: FrameGeom, start: bool):
+    """Start/wait the [H, f_tile+16, c2] window DMA for freq tile ``fi``.
+
+    Window covers frame cols [fi*f_tile - 8, fi*f_tile + f_tile + 8);
+    the first/last tiles clamp to the frame and the margin columns are
+    zero-filled by the consumer (`_edge_memset`).
+    """
+    ft, wincols = g.f_tile, g.f_tile + 2 * FOFF
+    nf = g.nf
+
+    def _mk(col0, width, dst0):
+        if not isinstance(col0, int):
+            col0 = pl.multiple_of(col0, 8)  # all window starts are 8-aligned
+        return pltpu.make_async_copy(
+            frame.at[b, :, pl.ds(col0, width), :],
+            xwin.at[slot, :, pl.ds(dst0, width), :],
+            sem.at[slot],
+        )
+
+    @pl.when(fi == 0)
+    def _():
+        cp = _mk(0, wincols - FOFF, FOFF)
+        cp.start() if start else cp.wait()
+
+    @pl.when(fi == nf - 1)
+    def _():
+        cp = _mk((nf - 1) * ft - FOFF, wincols - FOFF, 0)
+        cp.start() if start else cp.wait()
+
+    @pl.when(jnp.logical_and(fi != 0, fi != nf - 1))
+    def _():
+        cp = _mk(fi * ft - FOFF, wincols, 0)
+        cp.start() if start else cp.wait()
+
+
+def _edge_memset(xwin, slot, fi, g: FrameGeom):
+    wincols = g.f_tile + 2 * FOFF
+
+    @pl.when(fi == 0)
+    def _():
+        xwin[slot, :, 0:FOFF, :] = jnp.zeros_like(xwin[slot, :, 0:FOFF, :])
+
+    @pl.when(fi == g.nf - 1)
+    def _():
+        xwin[slot, :, wincols - FOFF : wincols, :] = jnp.zeros_like(
+            xwin[slot, :, wincols - FOFF : wincols, :]
+        )
+
+
+def _tile_dma(frame, dst, sem, slot, b, fi, g: FrameGeom, start: bool):
+    """Start/wait a halo-free [H, f_tile, c2] tile DMA."""
+    cp = pltpu.make_async_copy(
+        frame.at[b, :, pl.ds(pl.multiple_of(fi * g.f_tile, 8), g.f_tile), :],
+        dst.at[slot],
+        sem.at[slot],
+    )
+    cp.start() if start else cp.wait()
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: raw_out = conv(prologue(raw_in)) + bias, with stats
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    x_hbm, w_ref, scal_ref, bias_ref, out_ref, stats_ref, xwin, acc, sem,
+    *, g: FrameGeom, kt, kb, dt, act, prologue,
+):
+    b = pl.program_id(0)
+    fi = pl.program_id(1)
+    step = b * g.nf + fi
+    n_steps = pl.num_programs(0) * g.nf
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        _window_dma(x_hbm, xwin, sem, slot, 0, 0, g, start=True)
+        stats_ref[:] = jnp.zeros_like(stats_ref)
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        lin = step + 1
+        _window_dma(
+            x_hbm, xwin, sem, (step + 1) % 2, lin // g.nf, lin % g.nf, g, start=True
+        )
+
+    _window_dma(x_hbm, xwin, sem, slot, b, fi, g, start=False)
+    _edge_memset(xwin, slot, fi, g)
+
+    wincols = g.f_tile + 2 * FOFF
+    if prologue:
+        _prologue_y_inplace(xwin, slot, scal_ref[:], act, g, fi, wincols, -FOFF)
+    yw = xwin[slot]
+
+    c2, ft, Tc = g.c2, g.f_tile, g.Tc
+    pad_t = (kt - 1) * dt // 2
+    pad_b = (kb - 1) // 2
+    acc[:] = jnp.zeros_like(acc)
+    for i in range(kt):
+        r0 = g.tpad + i * dt - pad_t
+        for j in range(kb):
+            c0 = FOFF + j - pad_b
+            lhs = yw[r0 : r0 + Tc, c0 : c0 + ft, :]
+            w = w_ref[(i * kb + j) * c2 : (i * kb + j + 1) * c2, :]
+            acc[:] += jax.lax.dot_general(
+                lhs, w, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    omask = _mask3(fi, g, Tc, 0, ft, 0)
+    raw = jnp.where(
+        omask,
+        acc[:] + bias_ref[0].astype(jnp.float32),
+        jnp.zeros_like(acc),
+    ).astype(out_ref.dtype)
+    out_ref[0, : g.tpad] = jnp.zeros_like(out_ref[0, : g.tpad])
+    out_ref[0, g.tpad : g.tpad + Tc] = raw
+    out_ref[0, g.tpad + Tc :] = jnp.zeros_like(out_ref[0, g.tpad + Tc :])
+
+    # batch statistics of the bf16-rounded raw output (matches the
+    # default path, which reduces over the materialized bf16 tensor)
+    rf = raw.astype(jnp.float32)
+    stats_ref[0] += jnp.sum(rf, axis=(0, 1))
+    stats_ref[1] += jnp.sum(jnp.square(rf), axis=(0, 1))
+
+
+def _conv_fwd(x_frame, wf_packed, scal, bias2, g: FrameGeom, kt, kb, dt, act, prologue):
+    B = x_frame.shape[0]
+    kern = functools.partial(
+        _fwd_kernel, g=g, kt=kt, kb=kb, dt=dt, act=act, prologue=prologue
+    )
+    wincols = g.f_tile + 2 * FOFF
+    out, stats = pl.pallas_call(
+        kern,
+        grid=(B, g.nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (kt * kb * g.c2, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, g.H, g.f_tile, g.c2), lambda b, f: (b, 0, f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, g.H, g.Wf, g.c2), x_frame.dtype),
+            jax.ShapeDtypeStruct((8, g.c2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, g.H, wincols, g.c2), x_frame.dtype),
+            pltpu.VMEM((g.Tc, g.f_tile, g.c2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x_frame, wf_packed, scal, bias2)
+    return out, stats
+
+
+# ---------------------------------------------------------------------------
+# dgrad kernel: dy_prev = conv(d_raw, flip(W)); d_bias epilogue
+# ---------------------------------------------------------------------------
+
+
+def _dgrad_kernel(
+    dy_hbm, x_hbm, w_ref, scal_ref, out_ref, dbias_ref, dywin, xwin, acc, sem_dy, sem_x,
+    *, g: FrameGeom, kt, kb, dt, act, prologue,
+):
+    b = pl.program_id(0)
+    fi = pl.program_id(1)
+    step = b * g.nf + fi
+    n_steps = pl.num_programs(0) * g.nf
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        _window_dma(dy_hbm, dywin, sem_dy, 0, 0, 0, g, start=True)
+        if prologue:
+            _window_dma(x_hbm, xwin, sem_x, 0, 0, 0, g, start=True)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        lin = step + 1
+        b2, f2 = lin // g.nf, lin % g.nf
+        _window_dma(dy_hbm, dywin, sem_dy, (step + 1) % 2, b2, f2, g, start=True)
+        if prologue:
+            _window_dma(x_hbm, xwin, sem_x, (step + 1) % 2, b2, f2, g, start=True)
+
+    _window_dma(dy_hbm, dywin, sem_dy, slot, b, fi, g, start=False)
+    _edge_memset(dywin, slot, fi, g)
+    wincols = g.f_tile + 2 * FOFF
+    if prologue:
+        _window_dma(x_hbm, xwin, sem_x, slot, b, fi, g, start=False)
+        _edge_memset(xwin, slot, fi, g)
+        _prologue_draw_inplace(
+            dywin, xwin, slot, scal_ref[:], act, g, fi, wincols, -FOFF
+        )
+    draw = dywin  # d_raw now lives in the dy window buffer
+
+    c2, ft, Tc = g.c2, g.f_tile, g.Tc
+    # data grad of a stride-1 SAME conv with odd taps: SAME conv of dy
+    # with tap-flipped channel-transposed weights (packed by the caller)
+    pad_t = (kt - 1) * dt // 2
+    pad_b = (kb - 1) // 2
+    acc[:] = jnp.zeros_like(acc)
+    for i in range(kt):
+        r0 = g.tpad + i * dt - pad_t
+        for j in range(kb):
+            c0 = FOFF + j - pad_b
+            lhs = draw[slot, r0 : r0 + Tc, c0 : c0 + ft, :]
+            w = w_ref[(i * kb + j) * c2 : (i * kb + j + 1) * c2, :]
+            acc[:] += jax.lax.dot_general(
+                lhs, w, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    omask = _mask3(fi, g, Tc, 0, ft, 0)
+    dx = jnp.where(omask, acc[:], jnp.zeros_like(acc)).astype(out_ref.dtype)
+    out_ref[0, : g.tpad] = jnp.zeros_like(out_ref[0, : g.tpad])
+    out_ref[0, g.tpad : g.tpad + Tc] = dx
+    out_ref[0, g.tpad + Tc :] = jnp.zeros_like(out_ref[0, g.tpad + Tc :])
+
+    # d_bias = sum over real positions of d_raw (tile-center columns
+    # only — window margins overlap between tiles)
+    ctr = draw[slot, g.tpad : g.tpad + Tc, FOFF : FOFF + ft, :].astype(jnp.float32)
+    dbias_ref[0] += jnp.sum(ctr, axis=(0, 1))
+
+
+def _conv_dgrad(dy_frame, x_frame, wflip_packed, scal, g: FrameGeom, kt, kb, dt, act, prologue):
+    B = dy_frame.shape[0]
+    kern = functools.partial(
+        _dgrad_kernel, g=g, kt=kt, kb=kb, dt=dt, act=act, prologue=prologue
+    )
+    wincols = g.f_tile + 2 * FOFF
+    out, dbias = pl.pallas_call(
+        kern,
+        grid=(B, g.nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (kt * kb * g.c2, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, g.H, g.f_tile, g.c2), lambda b, f: (b, 0, f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, g.H, g.Wf, g.c2), dy_frame.dtype),
+            jax.ShapeDtypeStruct((8, g.c2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, g.H, wincols, g.c2), dy_frame.dtype),
+            pltpu.VMEM((2, g.H, wincols, g.c2), dy_frame.dtype),
+            pltpu.VMEM((g.Tc, g.f_tile, g.c2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(dy_frame, x_frame, wflip_packed, scal)
+    return out, dbias
+
+
+# ---------------------------------------------------------------------------
+# wgrad kernel: dWf[i,j] += y[.+off]^T @ d_raw[.]
+# ---------------------------------------------------------------------------
+
+
+def _wgrad_kernel(
+    xprev_hbm, dy_hbm, x_hbm, scal_prev_ref, scal_ref, dw_ref,
+    ywin, dyt, xt, sem_y, sem_dy, sem_x,
+    *, g: FrameGeom, kt, kb, dt, act_prev, act, lhs_prologue, rhs_prologue,
+):
+    b = pl.program_id(0)
+    fi = pl.program_id(1)
+    step = b * g.nf + fi
+    n_steps = pl.num_programs(0) * g.nf
+    slot = step % 2
+
+    def start(lin, sl):
+        b2, f2 = lin // g.nf, lin % g.nf
+        _window_dma(xprev_hbm, ywin, sem_y, sl, b2, f2, g, start=True)
+        _tile_dma(dy_hbm, dyt, sem_dy, sl, b2, f2, g, start=True)
+        if rhs_prologue:
+            _tile_dma(x_hbm, xt, sem_x, sl, b2, f2, g, start=True)
+
+    @pl.when(step == 0)
+    def _():
+        start(0, 0)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        start(step + 1, (step + 1) % 2)
+
+    _window_dma(xprev_hbm, ywin, sem_y, slot, b, fi, g, start=False)
+    _edge_memset(ywin, slot, fi, g)
+    _tile_dma(dy_hbm, dyt, sem_dy, slot, b, fi, g, start=False)
+
+    wincols = g.f_tile + 2 * FOFF
+    if lhs_prologue:
+        _prologue_y_inplace(ywin, slot, scal_prev_ref[:], act_prev, g, fi, wincols, -FOFF)
+    y = ywin[slot]
+
+    c2, ft, Tc = g.c2, g.f_tile, g.Tc
+    if rhs_prologue:
+        _tile_dma(x_hbm, xt, sem_x, slot, b, fi, g, start=False)
+        _prologue_draw_inplace(dyt, xt, slot, scal_ref[:], act, g, fi, ft, 0)
+    rhs = dyt[slot, g.tpad : g.tpad + Tc, :, :]
+
+    pad_t = (kt - 1) * dt // 2
+    pad_b = (kb - 1) // 2
+    for i in range(kt):
+        r0 = g.tpad + i * dt - pad_t
+        for j in range(kb):
+            c0 = FOFF + j - pad_b
+            lhs = y[r0 : r0 + Tc, c0 : c0 + ft, :]
+            dw_ref[(i * kb + j) * c2 : (i * kb + j + 1) * c2, :] += (
+                jax.lax.dot_general(
+                    lhs, rhs, (((0, 1), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+
+
+def _conv_wgrad(
+    xprev_frame, dy_frame, x_frame, scal_prev, scal, g: FrameGeom,
+    kt, kb, dt, act_prev, act, lhs_prologue, rhs_prologue,
+):
+    B = dy_frame.shape[0]
+    kern = functools.partial(
+        _wgrad_kernel, g=g, kt=kt, kb=kb, dt=dt,
+        act_prev=act_prev, act=act,
+        lhs_prologue=lhs_prologue, rhs_prologue=rhs_prologue,
+    )
+    wincols = g.f_tile + 2 * FOFF
+    dw = pl.pallas_call(
+        kern,
+        grid=(B, g.nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (kt * kb * g.c2, g.c2), lambda b, f: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((kt * kb * g.c2, g.c2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, g.H, wincols, g.c2), dy_frame.dtype),
+            pltpu.VMEM((2, g.H, g.f_tile, g.c2), dy_frame.dtype),
+            pltpu.VMEM((2, g.H, g.f_tile, g.c2), dy_frame.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(xprev_frame, dy_frame, x_frame, scal_prev, scal)
+    return dw
+
+
+# ---------------------------------------------------------------------------
+# chain orchestration
+# ---------------------------------------------------------------------------
+
+
+def _scal_table(mean, var, scale, bias, mean_dz=None, mean_dzx=None, eps=1e-5):
+    """fp32 [8, c2] per-channel constants, tiled x FOLD."""
+    r = jax.lax.rsqrt(var + eps)
+    inv = scale * r
+    shift = bias - mean * inv
+    rows = [inv, shift, mean, r]
+    rows.append(jnp.zeros_like(mean) if mean_dz is None else mean_dz)
+    rows.append(jnp.zeros_like(mean) if mean_dzx is None else mean_dzx)
+    t = jnp.stack(rows + [jnp.zeros_like(mean)] * (8 - len(rows)))
+    return jnp.tile(t, (1, FOLD)).astype(jnp.float32)
+
+
+def _mean_var(stats, n):
+    """[8, c2] folded (sum, sum_sq) rows -> per-real-channel (mean, var)."""
+    c = stats.shape[-1] // FOLD
+    total = stats[0].reshape(FOLD, c).sum(0)
+    total_sq = stats[1].reshape(FOLD, c).sum(0)
+    mean = total / n
+    var = jnp.maximum(total_sq / n - jnp.square(mean), 0.0)
+    return mean, var
+
+
+def _stage1(dy_frame, raw_frame, scal, act, g: FrameGeom):
+    """s_dz, s_dzx ([C] fp32): the bn_act backward's reduce stage.
+
+    One fused XLA pass over the sliced real regions; dy is zero at
+    margins so no masking is needed on the dz term, and xhat's margin
+    garbage is killed by dz==0.
+    """
+    cd = dy_frame.dtype
+    dy = from_frame(dy_frame, g)
+    x = from_frame(raw_frame, g)
+    z = x * scal[_S_INV].astype(cd) + scal[_S_SHIFT].astype(cd)
+    dz = dy * _act_deriv(z, act)
+    xhat = (x - scal[_S_MEAN].astype(cd)) * scal[_S_R].astype(cd)
+    s_dz = jnp.sum(dz.astype(jnp.float32), axis=(0, 1, 2))
+    s_dzx = jnp.sum((dz * xhat).astype(jnp.float32), axis=(0, 1, 2))
+    c = s_dz.shape[-1] // FOLD
+    return s_dz.reshape(FOLD, c).sum(0), s_dzx.reshape(FOLD, c).sum(0)
+
+
+def _pack(wf):
+    kt, kb, c2, c2o = wf.shape
+    return wf.reshape(kt * kb * c2, c2o)
+
+
+def _flip_packed(wf):
+    return _pack(jnp.transpose(wf[::-1, ::-1], (0, 1, 3, 2)))
+
+
+@functools.lru_cache(maxsize=None)
+def _unfold_grad_fn(kt: int, kf: int, cin: int, cout: int):
+    """Transpose of the linear `fold_kernel` map: folded grad -> grad."""
+    proto = jax.ShapeDtypeStruct((kt, kf, cin, cout), jnp.float32)
+    return jax.linear_transpose(fold_kernel, proto)
+
+
+def _unfold_grad(dwf_packed, kt, kf, cin, cout):
+    c2 = FOLD * cin
+    kb = dwf_packed.shape[0] // (kt * c2)
+    dwf = dwf_packed.reshape(kt, kb, c2, FOLD * cout).astype(jnp.float32)
+    (dw,) = _unfold_grad_fn(kt, kf, cin, cout)(dwf)
+    return dw
+
+
+def _chain_fwd_impl(y1, weights, conv_biases, bn_scales, bn_biases, cfg):
+    layer_specs, T, num_freq, eps, act = cfg
+    g = FrameGeom(T, num_freq, y1.shape[-1], max((k[0] - 1) * d // 2 for k, d in layer_specs))
+    n = y1.shape[0] * T * num_freq
+    frame = to_frame(y1, g)
+    frames = [frame]
+    means, vars_ = [], []
+    scal = None
+    for idx, ((kt, kf), dt) in enumerate(layer_specs):
+        wf = fold_kernel(weights[idx].astype(y1.dtype))
+        kb = wf.shape[1]
+        bias2 = jnp.tile(conv_biases[idx], FOLD)[None, :].astype(jnp.float32)
+        prologue = idx > 0
+        frame, stats = _conv_fwd(
+            frame, _pack(wf),
+            scal if scal is not None else jnp.zeros((8, g.c2), jnp.float32),
+            bias2, g, kt, kb, dt, act if prologue else None, prologue,
+        )
+        mean, var = _mean_var(stats, n)
+        means.append(mean)
+        vars_.append(var)
+        frames.append(frame)
+        if idx + 1 < len(layer_specs):
+            scal = _scal_table(mean, var, bn_scales[idx], bn_biases[idx], eps=eps)
+    raw_out = from_frame(frame, g)
+    return raw_out, tuple(means), tuple(vars_), (tuple(frames), tuple(means), tuple(vars_))
+
+
+def make_chain(layer_specs, T, num_freq, act: str, eps: float = 1e-5):
+    """Build the fused train-mode conv chain for the given static config.
+
+    ``layer_specs``: [((kt, kf), dt), ...] for the chain layers (the
+    heavy stack, reference `models/voicefilter/model.py:22-54`).
+    Returns ``chain(y1, weights, conv_biases, bn_scales, bn_biases) ->
+    (raw_out, means, vars)`` where
+
+    - ``y1`` [B, T, Fb, c2]: folded activated output of the layer
+      before the chain;
+    - ``weights``/``conv_biases``: per chain layer (unfolded canonical
+      [kt, kf, C, C] / [C]);
+    - ``bn_scales``/``bn_biases``: BN params of layers 1..n-1 (the
+      prologue normalizations INSIDE the chain — the LAST layer's BN is
+      applied by the caller, e.g. `ops/bn_act.py`, using the returned
+      final (mean, var));
+    - ``means``/``vars``: per-layer batch statistics of each raw conv
+      output (fp32 [C]) for running-average updates (treated as
+      non-differentiable).
+    """
+    cfg = (tuple(layer_specs), T, num_freq, eps, act)
+
+    @jax.custom_vjp
+    def chain(y1, weights, conv_biases, bn_scales, bn_biases):
+        raw, means, vars_, _ = _chain_fwd_impl(
+            y1, weights, conv_biases, bn_scales, bn_biases, cfg
+        )
+        return raw, means, vars_
+
+    def fwd(y1, weights, conv_biases, bn_scales, bn_biases):
+        raw, means, vars_, res = _chain_fwd_impl(
+            y1, weights, conv_biases, bn_scales, bn_biases, cfg
+        )
+        return (raw, means, vars_), (res, weights, bn_scales, bn_biases)
+
+    def bwd(residuals, cts):
+        (frames, means, vars_), weights, bn_scales, bn_biases = residuals
+        d_raw_out, _dm, _dv = cts  # stats cotangents: running-buffer path only
+        specs = cfg[0]
+        nL = len(specs)
+        g = FrameGeom(T, num_freq, frames[0].shape[-1],
+                      max((k[0] - 1) * d // 2 for k, d in specs))
+        n = frames[0].shape[0] * g.T * g.F
+        cd = frames[0].dtype
+
+        d_weights = [None] * nL
+        d_cbias = [None] * nL
+        d_scales = [None] * (nL - 1)
+        d_bbiases = [None] * (nL - 1)
+
+        # cotangent of the current layer's RAW output, as a frame
+        dy_frame = to_frame(d_raw_out.astype(cd), g)
+        scal_zero = jnp.zeros((8, g.c2), jnp.float32)
+        for idx in range(nL - 1, -1, -1):
+            (kt, kf), dt = specs[idx]
+            wf = fold_kernel(weights[idx].astype(cd))
+            kb = wf.shape[1]
+            raw_in = frames[idx]     # input frame of this layer
+            # lhs (input y) prologue table for wgrad
+            if idx > 0:
+                scal_prev = _scal_table(
+                    means[idx - 1], vars_[idx - 1],
+                    bn_scales[idx - 1], bn_biases[idx - 1], eps=cfg[3],
+                )
+            else:
+                scal_prev = scal_zero
+
+            # dW and d_bias of THIS layer (rhs d_raw is dy_frame itself:
+            # the caller/bn-backward already turned y-cotangent into
+            # raw-cotangent for layer idx)
+            dwf = _conv_wgrad(
+                raw_in, dy_frame, dy_frame, scal_prev, scal_zero, g,
+                kt, kb, dt, act if idx > 0 else None, None,
+                lhs_prologue=idx > 0, rhs_prologue=False,
+            )
+            d_weights[idx] = _unfold_grad(dwf, kt, kf, g.c2 // FOLD, g.c2 // FOLD)
+            dgrad_out, dbias_sum = _conv_dgrad(
+                dy_frame, dy_frame, _flip_packed(wf), scal_zero, g,
+                kt, kb, dt, None, prologue=False,
+            )
+            c = g.c2 // FOLD
+            d_cbias[idx] = dbias_sum[0].reshape(FOLD, c).sum(0)
+            # dgrad_out is the cotangent of this layer's INPUT (y_{idx-1})
+            if idx == 0:
+                d_y1 = from_frame(dgrad_out, g)
+                break
+            # convert y-cotangent into raw-cotangent of layer idx-1 via
+            # the statistics-aware BN+act backward
+            scal_b = _scal_table(
+                means[idx - 1], vars_[idx - 1],
+                bn_scales[idx - 1], bn_biases[idx - 1], eps=cfg[3],
+            )
+            s_dz, s_dzx = _stage1(dgrad_out, frames[idx], scal_b, act, g)
+            d_bbiases[idx - 1] = s_dz
+            d_scales[idx - 1] = s_dzx
+            scal_full = _scal_table(
+                means[idx - 1], vars_[idx - 1],
+                bn_scales[idx - 1], bn_biases[idx - 1],
+                mean_dz=s_dz / n, mean_dzx=s_dzx / n, eps=cfg[3],
+            )
+            # next iteration's dy_frame = d_raw_{idx-1}: computed inside
+            # the NEXT dgrad/wgrad prologues — here we materialize it
+            # once as a frame via the dgrad kernel's prologue pathway
+            dy_frame = _materialize_draw(dgrad_out, frames[idx], scal_full, act, g)
+
+        return (
+            d_y1,
+            tuple(d_weights),
+            tuple(d_cbias),
+            tuple(d_scales),
+            tuple(d_bbiases),
+        )
+
+    chain.defvjp(fwd, bwd)
+    return chain
+
+
+def _materialize_draw(dy_frame, raw_frame, scal, act, g: FrameGeom):
+    """d_raw frame from (dy, raw) — one fused XLA elementwise pass.
+
+    v1 materializes d_raw between layers (the prologue-fused variant
+    feeds (dy, raw) windows straight into dgrad/wgrad; measured second).
+    """
+    cd = dy_frame.dtype
+    z = raw_frame * scal[_S_INV].astype(cd) + scal[_S_SHIFT].astype(cd)
+    dz = dy_frame * _act_deriv(z, act)
+    xhat = (raw_frame - scal[_S_MEAN].astype(cd)) * scal[_S_R].astype(cd)
+    draw = scal[_S_INV].astype(cd) * (
+        dz - scal[_S_MDZ].astype(cd) - xhat * scal[_S_MDZX].astype(cd)
+    )
+    # margins: dy is zero there, but the -mean_dz / -xhat*mean_dzx terms
+    # are not — re-zero by construction
+    mask = jnp.zeros_like(dy_frame, dtype=jnp.bool_)
+    mask = mask.at[:, g.tpad : g.tpad + g.T, FOFF : FOFF + g.Fb, :].set(True)
+    if g.n_freq_pad:
+        c = g.c2 // FOLD
+        mask = mask.at[:, :, FOFF + g.Fb - 1, (FOLD - g.n_freq_pad) * c :].set(False)
+    return jnp.where(mask, draw, jnp.zeros_like(draw))
