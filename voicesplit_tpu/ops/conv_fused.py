@@ -43,6 +43,19 @@ Replaces (when enabled) the conv+BN+act composition of reference
 `models/voicefilter/model.py:17-54`; parity vs the default folded path
 is tested in `tests/test_conv_fused.py`.  Enable with
 VOICESPLIT_FUSED_CHAIN=1 (TPU only; non-causal flagship geometry).
+
+MEASURED NEGATIVE RESULT (v5e-1, B=16, 6 heavy layers, dense cotangent,
+docs/KERNELS.md has the full analysis): fwd 37.5 ms vs XLA-default
+34.5 ms; fwd+bwd 117.2 ms vs 85.6 ms.  Gradients match, speed does not:
+(a) the zero-margined frames cost 1.36x bytes on every stream, (b) the
+prologue VPU work runs SEQUENTIALLY with the MXU contractions inside a
+kernel (data dependence), whereas XLA's separate elementwise passes
+pipeline at full HBM bandwidth while convs run, and (c) the MXU is
+already ~87% of per-kernel time, so the removable elementwise slack is
+~13 ms — which the frame margins and serial prologues eat.  Kept as a
+correct, tested, opt-in implementation and as the measured record of
+why prologue-fused conv chains do NOT pay on this architecture; the
+default folded-XLA + custom-VJP-bn_act path stays.
 """
 
 from __future__ import annotations
@@ -552,14 +565,16 @@ def _wgrad_kernel(
 
     pad_t = (kt - 1) * dt // 2
     pad_b = (kb - 1) // 2
+    # tpu.matmul wants single contracting dims: flatten (rows, cols)
+    rhs2 = rhs.reshape(Tc * ft, c2)
     for i in range(kt):
         r0 = g.tpad + i * dt - pad_t
         for j in range(kb):
             c0 = FOFF + j - pad_b
-            lhs = y[r0 : r0 + Tc, c0 : c0 + ft, :]
+            lhs = y[r0 : r0 + Tc, c0 : c0 + ft, :].reshape(Tc * ft, c2)
             dw_ref[(i * kb + j) * c2 : (i * kb + j + 1) * c2, :] += (
                 jax.lax.dot_general(
-                    lhs, rhs, (((0, 1), (0, 1)), ((), ())),
+                    lhs, rhs2, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -835,10 +850,19 @@ def _materialize_draw(dy_frame, raw_frame, scal, act, g: FrameGeom):
         dz - scal[_S_MDZ].astype(cd) - xhat * scal[_S_MDZX].astype(cd)
     )
     # margins: dy is zero there, but the -mean_dz / -xhat*mean_dzx terms
-    # are not — re-zero by construction
-    mask = jnp.zeros_like(dy_frame, dtype=jnp.bool_)
-    mask = mask.at[:, g.tpad : g.tpad + g.T, FOFF : FOFF + g.Fb, :].set(True)
+    # are not — re-zero by construction (iota compares fuse into the
+    # elementwise pass; an .at[].set bool mask would materialize a
+    # frame-sized tensor)
+    rows = jnp.arange(g.H)[None, :, None, None]
+    cols = jnp.arange(g.Wf)[None, None, :, None]
+    mask = (
+        (rows >= g.tpad) & (rows < g.tpad + g.T)
+        & (cols >= FOFF) & (cols < FOFF + g.Fb)
+    )
     if g.n_freq_pad:
+        ch = jnp.arange(g.c2)[None, None, None, :]
         c = g.c2 // FOLD
-        mask = mask.at[:, :, FOFF + g.Fb - 1, (FOLD - g.n_freq_pad) * c :].set(False)
+        mask = mask & ~(
+            (cols == FOFF + g.Fb - 1) & (ch >= (FOLD - g.n_freq_pad) * c)
+        )
     return jnp.where(mask, draw, jnp.zeros_like(draw))
