@@ -202,3 +202,81 @@ def test_train_step_alternative_backends(backend, tmp_path):
     state, metrics = step(state, next(loader))
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss)
+
+
+def test_multi_step_dispatch_matches_sequential_steps():
+    """K scanned steps == K sequential jitted steps (state + metrics)."""
+    import numpy as np
+    from voicesplit_tpu.config import Config
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.train import create_train_state, make_optimizer
+    from voicesplit_tpu.train.steps import make_multi_train_step, make_train_step
+
+    c = Config()
+    c.audio.active.num_freq = 33
+    c.audio.active.n_fft = 64
+    c.audio.active.hop_length = 16
+    c.audio.active.win_length = 32
+    c.audio.audio_len = 0.05
+    c.model.lstm_dim = 8
+    c.model.fc1_dim = 8
+    c.model.fc2_dim = 33
+    c.train_config.batch_size = 2
+    # fp32 compute: scan vs separate jits fuse differently, and bf16
+    # rounding would diverge over steps at the reference lr
+    c.train_config.compute_dtype = "float32"
+    ap = AudioProcessor(c.audio)
+    model = make_masknet(c)
+    tx = make_optimizer(c)
+    B, K = 2, 3
+    L = int(ap.sample_rate * c.audio.audio_len)
+    T = ap.frames_for(L)
+    rng = np.random.default_rng(0)
+    state0 = create_train_state(c, model, jax.random.PRNGKey(0), (B, T, ap.num_freq), tx)
+
+    def mkbatch(i):
+        r = np.random.default_rng(i)
+        return {
+            "emb": r.standard_normal((B, 256)).astype(np.float32),
+            "target_wav": (0.1 * r.standard_normal((B, L))).astype(np.float32),
+            "mixed_wav": (0.1 * r.standard_normal((B, L))).astype(np.float32),
+            "wav_len": np.full((B,), L, np.int32),
+            "seq_len": np.full((B,), T, np.int32),
+        }
+
+    batches = [mkbatch(i) for i in range(K)]
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches]) for k in batches[0]}
+
+    single = make_train_step(c, model, ap, tx, donate=False)
+    st = state0
+    for b in batches:
+        st, m_seq = single(st, b)
+
+    multi = make_multi_train_step(c, model, ap, tx, K, donate=False)
+    st_multi, m_multi = multi(state0, stacked)
+
+    assert int(st_multi.step) == int(st.step) == K
+    np.testing.assert_allclose(
+        np.asarray(m_multi["loss"]), np.asarray(m_seq["loss"]), rtol=1e-5
+    )
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(st.params),
+        jax.tree_util.tree_leaves_with_path(st_multi.params),
+    ):
+        name = jax.tree_util.keystr(p)
+        if "Conv_0" in name and "bias" in name:
+            # conv-bias grads are analytically zero through batch-stat
+            # BN; Adam turns each path's float summation noise into an
+            # independent +-lr random walk (true of the torch reference
+            # too) — only the walk magnitude is checkable
+            assert float(np.max(np.abs(np.asarray(b)))) < 5 * K * 1e-2
+            continue
+        # Adam's rsqrt(v) makes early updates ~lr*sign(g): float-noise
+        # sign flips on near-zero grad components bound the achievable
+        # agreement to a small per-step drift, not exact equality
+        scale = max(1e-3, float(np.max(np.abs(np.asarray(a)))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-2 * scale,
+            err_msg=name,
+        )

@@ -67,7 +67,60 @@ def make_train_step(
     ``loss_exploded`` so the host loop can break like the reference's
     guard (`train.py:115-117`) without an extra transfer.
     """
+    return jax.jit(
+        _train_step_body(config, model, ap, tx),
+        donate_argnums=(0,) if donate else (),
+    )
 
+
+def make_multi_train_step(
+    config: Config,
+    model,
+    ap: AudioProcessor,
+    tx: optax.GradientTransformation,
+    steps_per_dispatch: int,
+    donate: bool = True,
+):
+    """``(state, batches) -> (state, metrics)`` running K optimizer steps
+    per dispatch via `lax.scan` over a stacked batch window [K, B, ...].
+
+    The standard production-JAX train-loop unrolling for host-bound
+    loops.  Measured on the tunneled v5e at flagship shape it is
+    throughput-NEUTRAL (B=32: 238.7 ms/step at K=4 vs 238.8 at K=1) —
+    XLA's async dispatch already pipelines back-to-back steps, so the
+    "fixed dispatch overhead" in docs/KERNELS.md is latency, not
+    throughput.  Kept for slow-host / high-step-rate regimes (tiny
+    models, many chips) where the host loop genuinely can't keep up.
+    Metrics are the LAST step's loss/grad_norm (what the host would log
+    anyway at a >K logging cadence) plus an any-step ``loss_exploded``
+    so the reference's explosion guard (`train.py:115-117`) still trips
+    even mid-window.
+    """
+    single = _train_step_body(config, model, ap, tx)
+
+    def multi(state: TrainState, batches):
+        def body(st, b):
+            st, m = single(st, b)
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, batches)
+        metrics = {
+            "loss": ms["loss"][-1],
+            "grad_norm": ms["grad_norm"][-1],
+            "loss_exploded": jnp.any(ms["loss_exploded"]),
+            "loss_mean": jnp.mean(ms["loss"]),
+        }
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_body(
+    config: Config,
+    model,
+    ap: AudioProcessor,
+    tx: optax.GradientTransformation,
+):
     def loss_fn(params, batch_stats, batch):
         mixed_spec, mixed_phase = ap.wav2spec_batch(batch["mixed_wav"])
         target_spec, _ = ap.wav2spec_batch(batch["target_wav"])
@@ -108,7 +161,7 @@ def make_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
 
 
 def make_eval_step(config: Config, model, ap: AudioProcessor):
