@@ -7,11 +7,12 @@ d-vectors; too-short references get the scalar-``[0]`` sentinel the
 dataset layer filters out.
 
     python -m voicesplit_tpu.cli.extract_embeddings --data_dir DIR \
-        [--encoder_checkpoint embedder.pt] [-c config.json]
+        [--encoder_checkpoint embedder.pt|encoder_N.msgpack] [-c config.json]
 
 Without a checkpoint the encoder runs with random init (useful for
 pipeline smoke tests; pass the reference's pretrained ``embedder.pt``
-for real d-vectors — its torch state_dict is converted automatically).
+for real d-vectors — its torch state_dict is converted automatically —
+or a native ``.msgpack`` trained by `cli/train_encoder.py`).
 ``--encoder spectral`` instead computes training-free signal-derived
 d-vectors (`models/speaker_encoder.py::spectral_dvector`) — no
 checkpoint needed, supports unseen speakers.
@@ -66,7 +67,22 @@ def main(argv=None):
         return
 
     encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
-    if args.encoder_checkpoint:
+    if args.encoder_checkpoint and args.encoder_checkpoint.endswith(".msgpack"):
+        # native checkpoint written by cli/train_encoder.py — carries
+        # its own topology
+        from flax import serialization
+
+        with open(args.encoder_checkpoint, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+        enc_cfg = blob.get("encoder", {})
+        encoder = SpeakerEncoder(
+            num_mels=int(enc_cfg.get("num_mels", config.audio.active.num_mels)),
+            lstm_hidden=int(enc_cfg.get("lstm_hidden", 768)),
+            lstm_layers=int(enc_cfg.get("lstm_layers", 3)),
+            emb_dim=int(enc_cfg.get("emb_dim", config.model.emb_dim)),
+        )
+        variables = {"params": blob["params"]["enc"]}
+    elif args.encoder_checkpoint:
         import torch
 
         sd = torch.load(args.encoder_checkpoint, map_location="cpu")

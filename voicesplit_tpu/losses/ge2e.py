@@ -1,0 +1,84 @@
+"""GE2E softmax loss (Wan et al. 2018, arXiv:1710.10467 §2.1).
+
+The reference conditions its mask net on d-vectors from a GE2E encoder
+that was trained OUTSIDE the repo (the external ``embedder.pt``;
+notebook `GE2E-...-openvoicefilter.py` only runs inference).  This
+module provides the training objective so the encoder can be trained
+end-to-end inside this framework (`cli/train_encoder.py`), removing the
+last external-artifact dependency.
+
+Batch layout: ``emb [N, M, D]`` — N speakers x M utterances, each
+already L2-normalized (the `SpeakerEncoder` output).  Per-utterance
+similarity against every speaker centroid, with the OWN-speaker
+centroid computed excluding the utterance itself (eq. 8-9); scaled by
+learnable ``(w, b)`` with w kept positive (eq. 5); softmax loss
+(eq. 6/10).  Fully vectorized — no python loops over speakers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def ge2e_softmax_loss(emb: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean GE2E softmax loss over the [N, M] utterances.
+
+    ``emb`` must be L2-normalized along D.  ``w``/``b`` are scalar
+    (0-d or [1]) learnable similarity scale/bias; w is clamped positive
+    inside the loss (the paper constrains w > 0).
+    """
+    N, M, D = emb.shape
+    if N < 2 or M < 2:
+        raise ValueError("GE2E needs >=2 speakers and >=2 utterances each")
+    w = jnp.maximum(jnp.reshape(w, ()), 1e-4)
+    b = jnp.reshape(b, ())
+
+    cent = emb.mean(axis=1)  # [N, D]
+    cent = cent / (jnp.linalg.norm(cent, axis=-1, keepdims=True) + 1e-8)
+    # exclusive own centroid per utterance (eq. 9)
+    excl = (emb.sum(axis=1, keepdims=True) - emb) / (M - 1)  # [N, M, D]
+    excl = excl / (jnp.linalg.norm(excl, axis=-1, keepdims=True) + 1e-8)
+
+    sim = jnp.einsum("nmd,kd->nmk", emb, cent)  # cos: emb is unit-norm
+    own = jnp.einsum("nmd,nmd->nm", emb, excl)
+    eye = jnp.eye(N, dtype=bool)[:, None, :]  # [N, 1, N]
+    sim = jnp.where(eye, own[:, :, None], sim)
+    logits = w * sim + b  # [N, M, N]
+
+    target = logits[
+        jnp.arange(N)[:, None], jnp.arange(M)[None, :], jnp.arange(N)[:, None]
+    ]
+    lse = jnp.log(jnp.sum(jnp.exp(logits - logits.max(-1, keepdims=True)), -1)) + (
+        logits.max(-1)
+    )
+    return jnp.mean(lse - target)
+
+
+def pairwise_eer(emb: "jnp.ndarray", speaker_ids) -> float:
+    """Equal error rate of cosine utterance-pair verification (host).
+
+    ``emb [K, D]`` L2-normalized, ``speaker_ids [K]``.  All K*(K-1)/2
+    pairs are scored by cosine; EER is where false-accept == false-
+    reject.  Used as the encoder-training progress metric.
+    """
+    import numpy as np
+
+    e = np.asarray(emb, np.float64)
+    ids = np.asarray(speaker_ids)
+    scores = e @ e.T
+    iu = np.triu_indices(len(ids), k=1)
+    s = scores[iu]
+    same = ids[iu[0]] == ids[iu[1]]
+    if not same.any() or same.all():
+        return float("nan")
+    order = np.argsort(-s)
+    same_sorted = same[order]
+    n_same = same.sum()
+    n_diff = (~same).sum()
+    # sweep thresholds: FA = diff accepted / n_diff, FR = same rejected / n_same
+    tp = np.cumsum(same_sorted)
+    fp = np.cumsum(~same_sorted)
+    fa = fp / n_diff
+    fr = 1.0 - tp / n_same
+    k = int(np.argmin(np.abs(fa - fr)))
+    return float((fa[k] + fr[k]) / 2.0)
