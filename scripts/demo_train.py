@@ -51,21 +51,26 @@ def main():
     ap_args.add_argument("--batch_size", type=int, default=16)
     ap_args.add_argument("--lr", type=float, default=None,
                          help="override config learning rate (reference default 1e-2)")
-    ap_args.add_argument("--emb", default="pseudo", choices=("pseudo", "spectral"),
-                         help="'spectral' = signal-derived d-vectors (open-set capable)")
+    ap_args.add_argument("--emb", default="pseudo",
+                         choices=("pseudo", "spectral", "ge2e"),
+                         help="'spectral' = signal-derived d-vectors; 'ge2e' = "
+                              "train a GE2E encoder on the (train-split) corpus "
+                              "first and condition on its d-vectors — the full "
+                              "reference pipeline in-framework (open-set capable)")
+    ap_args.add_argument("--ge2e_steps", type=int, default=1500)
     ap_args.add_argument("--holdout", type=int, default=0,
                          help="hold out the last N speakers entirely for eval "
-                              "(open-set: unseen speakers; requires --emb spectral "
-                              "and N >= 2)")
+                              "(open-set: unseen speakers; requires --emb "
+                              "spectral|ge2e and N >= 2)")
     ap_args.add_argument("--causal", action="store_true",
                          help="train the deployable zero-lookahead model: "
                          "causal conv stack + unidirectional LSTM")
     ap_args.add_argument("--out", default="logs/demo_train")
     args = ap_args.parse_args()
 
-    if args.holdout and args.emb != "spectral":
-        ap_args.error("--holdout needs --emb spectral (pseudo d-vectors are "
-                      "per-speaker identity tokens and cannot generalize)")
+    if args.holdout and args.emb == "pseudo":
+        ap_args.error("--holdout needs --emb spectral|ge2e (pseudo d-vectors "
+                      "are per-speaker identity tokens and cannot generalize)")
 
     import jax
     import jax.numpy as jnp
@@ -105,6 +110,45 @@ def main():
         c.train_config.learning_rate = args.lr
     c.model.causal = args.causal
     ap = AudioProcessor(c.audio)
+
+    embeddings = None
+    emb_mode_iter = args.emb
+    if args.emb == "ge2e":
+        # Full in-framework pipeline: train a GE2E encoder on the
+        # TRAIN-split speakers only (held-out speakers stay unseen —
+        # their d-vectors below are pure inference), then enroll every
+        # speaker as the mean d-vector over their utterances.
+        from voicesplit_tpu.train.encoder import embed_utterance, train_ge2e
+
+        n_enc = min(8, len(train_speakers))
+        print(f"training GE2E encoder on {len(train_speakers)} speakers "
+              f"({args.ge2e_steps} steps, N={n_enc} M=4)...", flush=True)
+        enc, enc_params, _, enc_losses = train_ge2e(
+            ap, train_speakers, n_speakers=n_enc, m_utts=4,
+            steps=args.ge2e_steps, lr=3e-4,
+            lstm_hidden=256, lstm_layers=2, emb_dim=c.model.emb_dim,
+            seed=7, log_interval=max(50, args.ge2e_steps // 10),
+        )
+        import numpy as _np
+
+        embeddings = {}
+        for spk, paths in speakers.items():
+            vs = [embed_utterance(enc, enc_params, ap, ap.load_wav(p))
+                  for p in paths[:4]]
+            v = _np.mean(_np.stack(vs), axis=0)
+            embeddings[spk] = (v / (_np.linalg.norm(v) + 1e-8)).astype(_np.float32)
+        from voicesplit_tpu.losses.ge2e import pairwise_eer
+
+        utt_embs, utt_ids = [], []
+        for spk, paths in speakers.items():
+            for p in paths[:3]:
+                utt_embs.append(embed_utterance(enc, enc_params, ap, ap.load_wav(p)))
+                utt_ids.append(spk)
+        eer = pairwise_eer(_np.stack(utt_embs), utt_ids)
+        print(f"GE2E encoder: final loss {enc_losses[-1]:.3f}, "
+              f"all-speaker pairwise EER {eer:.3f}", flush=True)
+        emb_mode_iter = "pseudo"  # dict hits take precedence; no fallback used
+
     model = make_masknet(c, streaming=args.causal)
     tx = make_optimizer(c)
     B = args.batch_size
@@ -118,14 +162,14 @@ def main():
     train_it = OnlineMixIterator(
         train_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=17, items_per_epoch=256,
-        emb_mode=args.emb,
+        emb_mode=emb_mode_iter, embeddings=embeddings,
     )
     # held-out mixtures: disjoint speakers with --holdout (open-set),
     # otherwise a different seed ⇒ different pairings/crops (closed-set)
     eval_it = OnlineMixIterator(
         eval_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=977, items_per_epoch=256,
-        emb_mode=args.emb,
+        emb_mode=emb_mode_iter, embeddings=embeddings,
     )
     eval_batch = {k: jax.device_put(v) for k, v in next(eval_it).items()}
 

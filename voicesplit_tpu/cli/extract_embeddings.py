@@ -106,7 +106,8 @@ def main(argv=None):
     for path in files:
         out_path = path.replace(args.glob_wav.replace("*", ""), "") + args.out_suffix
         wav = ap.load_wav(path)
-        mel = np.asarray(ap.get_mel(wav), np.float32)  # [n_mels, T]
+        # bucketed: one compiled mel program per 1 s length bucket
+        mel = np.asarray(ap.get_mel_bucketed(wav), np.float32)  # [n_mels, T]
         T = mel.shape[1]
         if T < W:
             # sentinel for too-short references (reference `:147-152`)

@@ -6,7 +6,7 @@ closes that gap: it trains the same `SpeakerEncoder` topology with the
 GE2E softmax loss (`losses/ge2e.py`) on a ``root/<speaker>/*.wav`` tree
 (the layout `cli/resample.py` produces from LibriSpeech/VCTK), so the
 whole VoiceFilter pipeline — encoder included — is reproducible inside
-this framework.
+this framework.  The training core lives in `train/encoder.py`.
 
     python -m voicesplit_tpu.cli.train_encoder --data_root DIR \
         [--speakers_per_batch 16] [--utts_per_speaker 6] \
@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 from glob import glob
 
 
@@ -41,59 +40,6 @@ def _discover_speakers(root: str, min_utts: int):
         if len(wavs) >= min_utts:
             speakers[d] = wavs
     return speakers
-
-
-class _MelSampler:
-    """Host-side batch sampler: N speakers x M random 80-frame mel crops.
-
-    Mels are computed once per file and cached (40 mels x ~300 frames
-    per 3 s utterance ≈ 50 kB — thousands of utterances fit in RAM).
-    """
-
-    def __init__(self, ap, speakers, window: int, rng):
-        self.ap = ap
-        self.speakers = speakers
-        self.names = sorted(speakers)
-        self.window = window
-        self.rng = rng
-        self._cache = {}
-
-    def _mel(self, path):
-        m = self._cache.get(path)
-        if m is None:
-            import numpy as np
-
-            wav = self.ap.load_wav(path)
-            m = np.asarray(self.ap.get_mel(wav), np.float32)  # [n_mels, T]
-            self._cache[path] = m
-        return m
-
-    def crop(self, path):
-        import numpy as np
-
-        m = self._mel(path)
-        T = m.shape[1]
-        if T < self.window:
-            m = np.pad(m, ((0, 0), (0, self.window - T)), mode="wrap")
-            return m[:, : self.window]
-        s = int(self.rng.integers(0, T - self.window + 1))
-        return m[:, s : s + self.window]
-
-    def batch(self, n_speakers: int, m_utts: int, names=None):
-        import numpy as np
-
-        pool = names if names is not None else self.names
-        chosen = self.rng.choice(len(pool), size=n_speakers, replace=False)
-        mels, ids = [], []
-        for ci in chosen:
-            name = pool[int(ci)]
-            wavs = self.speakers[name]
-            replace = len(wavs) < m_utts
-            picks = self.rng.choice(len(wavs), size=m_utts, replace=replace)
-            for pi in picks:
-                mels.append(self.crop(wavs[int(pi)]))
-                ids.append(name)
-        return np.stack(mels), ids  # [N*M, n_mels, W]
 
 
 def main(argv=None):
@@ -125,13 +71,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
     from flax import serialization
 
     from voicesplit_tpu.config import Config, load_config
     from voicesplit_tpu.dsp.processor import make_audio_processor
-    from voicesplit_tpu.losses.ge2e import ge2e_softmax_loss, pairwise_eer
-    from voicesplit_tpu.models.speaker_encoder import SpeakerEncoder
+    from voicesplit_tpu.losses.ge2e import pairwise_eer
+    from voicesplit_tpu.train.encoder import MelSampler, train_ge2e
 
     config = load_config(args.config_path) if args.config_path else Config()
     ap = make_audio_processor(config)
@@ -143,84 +88,95 @@ def main(argv=None):
             f"need >= {N + args.holdout_speakers} speakers with >=2 utts, "
             f"found {len(speakers)} under {args.data_root}"
         )
-    rng = np.random.default_rng(args.seed)
-    sampler = _MelSampler(ap, speakers, window=80, rng=rng)
-    names = sampler.names
+    names = sorted(speakers)
     holdout = names[: args.holdout_speakers]
-    train_names = names[args.holdout_speakers :] if args.holdout_speakers else names
+    train_speakers = {
+        k: v for k, v in speakers.items()
+        if k not in set(holdout)
+    } if args.holdout_speakers else speakers
 
-    encoder = SpeakerEncoder(
-        num_mels=config.audio.active.num_mels,
-        lstm_hidden=args.lstm_hidden,
-        lstm_layers=args.lstm_layers,
-        emb_dim=config.model.emb_dim,
-    )
-    mel0 = jnp.zeros((N * M, config.audio.active.num_mels, 80), jnp.float32)
-    params = {
-        "enc": encoder.init(jax.random.PRNGKey(args.seed), mel0)["params"],
-        # paper init: w=10, b=-5
-        "w": jnp.asarray(10.0, jnp.float32),
-        "b": jnp.asarray(-5.0, jnp.float32),
-    }
-    tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(args.lr))
-    opt_state = tx.init(params)
+    params = opt_state = None
     step0 = 0
     if args.resume:
+        import optax
+
+        from voicesplit_tpu.models.speaker_encoder import SpeakerEncoder
+
         with open(args.resume, "rb") as f:
             blob = serialization.msgpack_restore(f.read())
+        enc_t = SpeakerEncoder(
+            num_mels=config.audio.active.num_mels,
+            lstm_hidden=args.lstm_hidden, lstm_layers=args.lstm_layers,
+            emb_dim=config.model.emb_dim,
+        )
+        mel0 = jnp.zeros((N * M, config.audio.active.num_mels, 80), jnp.float32)
+        params = {
+            "enc": enc_t.init(jax.random.PRNGKey(args.seed), mel0)["params"],
+            "w": jnp.asarray(10.0, jnp.float32),
+            "b": jnp.asarray(-5.0, jnp.float32),
+        }
+        tx_t = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(args.lr))
+        opt_state = tx_t.init(params)
         params = serialization.from_state_dict(params, blob["params"])
         opt_state = serialization.from_state_dict(opt_state, blob["opt_state"])
         step0 = int(blob["step"])
         print(f" > resumed {args.resume} at step {step0}")
 
-    def loss_fn(params, mels):
-        emb = encoder.apply({"params": params["enc"]}, mels)  # [N*M, D]
-        return ge2e_softmax_loss(emb.reshape(N, M, -1), params["w"], params["b"])
+    eval_rng = np.random.default_rng(args.seed + 1)
+    eval_sampler = MelSampler(ap, speakers, window=80, rng=eval_rng)
 
-    @jax.jit
-    def train_step(params, opt_state, mels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, mels)
-        # paper: 0.01x smaller gradient scale on (w, b)
-        grads = {**grads, "w": grads["w"] * 0.01, "b": grads["b"] * 0.01}
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    encoder = None
 
-    embed = jax.jit(lambda params, mels: encoder.apply({"params": params["enc"]}, mels))
-
-    def eval_eer(params):
-        pool = holdout if holdout else train_names
+    def eval_eer(encoder, params):
+        pool = holdout if holdout else names
         n = min(len(pool), 8)
-        mels, ids = sampler.batch(n, 4, names=pool)
-        emb = np.asarray(embed(params, jnp.asarray(mels)))
+        mels, ids = eval_sampler.batch(n, 4, names=pool)
+        emb = np.asarray(
+            jax.jit(lambda m: encoder.apply({"params": params["enc"]}, m))(
+                jnp.asarray(mels)
+            )
+        )
         return pairwise_eer(emb, ids)
 
+    def save(params, opt_state, step):
+        blob = {
+            "params": serialization.to_state_dict(params),
+            "opt_state": serialization.to_state_dict(opt_state),
+            "step": step,
+            "encoder": {
+                "num_mels": config.audio.active.num_mels,
+                "lstm_hidden": args.lstm_hidden,
+                "lstm_layers": args.lstm_layers,
+                "emb_dim": config.model.emb_dim,
+            },
+        }
+        path = os.path.join(args.output_path, f"encoder_{step}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(blob))
+        print(f" > saved {path}", flush=True)
+
     os.makedirs(args.output_path, exist_ok=True)
-    t0 = time.time()
-    for step in range(step0 + 1, args.steps + 1):
-        mels, _ = sampler.batch(N, M, names=train_names)
-        params, opt_state, loss = train_step(params, opt_state, jnp.asarray(mels))
-        if step % args.log_interval == 0 or step == step0 + 1:
-            print(f"step {step}  loss {float(loss):.4f}  "
-                  f"({(time.time() - t0) / max(1, step - step0):.2f} s/step)", flush=True)
+    chunk = min(
+        x for x in (args.eval_interval or args.steps,
+                    args.checkpoint_interval, args.steps) if x > 0
+    )
+    step = step0
+    while step < args.steps:
+        n_now = min(chunk, args.steps - step)
+        encoder, params, opt_state, _ = train_ge2e(
+            ap, train_speakers,
+            n_speakers=N, m_utts=M, steps=n_now, lr=args.lr,
+            lstm_hidden=args.lstm_hidden, lstm_layers=args.lstm_layers,
+            emb_dim=config.model.emb_dim, seed=args.seed + step,
+            log_interval=args.log_interval,
+            params=params, opt_state=opt_state, step0=step,
+        )
+        step += n_now
         if args.eval_interval and step % args.eval_interval == 0:
-            print(f"step {step}  holdout pairwise EER {eval_eer(params):.3f}", flush=True)
-        if step % args.checkpoint_interval == 0 or step == args.steps:
-            blob = {
-                "params": serialization.to_state_dict(params),
-                "opt_state": serialization.to_state_dict(opt_state),
-                "step": step,
-                "encoder": {
-                    "num_mels": config.audio.active.num_mels,
-                    "lstm_hidden": args.lstm_hidden,
-                    "lstm_layers": args.lstm_layers,
-                    "emb_dim": config.model.emb_dim,
-                },
-            }
-            path = os.path.join(args.output_path, f"encoder_{step}.msgpack")
-            with open(path, "wb") as f:
-                f.write(serialization.msgpack_serialize(blob))
-            print(f" > saved {path}", flush=True)
+            print(f"step {step}  holdout pairwise EER {eval_eer(encoder, params):.3f}",
+                  flush=True)
+        if step % args.checkpoint_interval == 0 or step >= args.steps:
+            save(params, opt_state, step)
 
 
 if __name__ == "__main__":

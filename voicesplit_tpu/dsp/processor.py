@@ -293,6 +293,24 @@ class AudioProcessor:
         """``[L]`` → log-mel ``[n_mels, T]`` for the GE2E speaker encoder."""
         return np.asarray(self._jit_mel(jnp.asarray(y, jnp.float32)))
 
+    def get_mel_bucketed(self, y: np.ndarray, bucket_s: float = 1.0) -> np.ndarray:
+        """`get_mel` with the wav zero-padded to the next ``bucket_s``
+        length grid, so a corpus of arbitrary-length utterances reuses
+        ONE compiled program per bucket instead of recompiling per
+        distinct length (each remote TPU compile is ~30 s; a speaker
+        corpus has about as many lengths as files).  Only the true
+        length's frames are returned; the last couple of frames can
+        differ slightly from `get_mel` (the STFT edge reflection sees
+        the zero pad), which is immaterial for encoder features."""
+        y = np.asarray(y, np.float32)
+        L = len(y)
+        step = max(1, int(round(self.sample_rate * bucket_s)))
+        Lb = max(step, -(-L // step) * step)
+        if Lb != L:
+            y = np.pad(y, (0, Lb - L))
+        mel = np.asarray(self._jit_mel(jnp.asarray(y, jnp.float32)))
+        return mel[:, : self.frames_for(L)]
+
     def load_wav(self, path: str) -> np.ndarray:
         wav = audio_io.load_wav(path, self.sample_rate)
         if self.backend == "wavernn" and getattr(self.params, "do_trim_silence", False):
