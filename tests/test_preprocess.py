@@ -113,9 +113,17 @@ def test_resample_cli(tmp_path, capsys):
     import scipy.io.wavfile
 
     scipy.io.wavfile.write(str(d / "a.wav"), 44100, (0.5 * np.sin(np.arange(44100) / 20)).astype(np.float32))
+    # default mode is ebu (ffmpeg-normalize parity): R128 loudness target
     main(["--root", str(tmp_path / "tree"), "--num_workers", "1"])
     out = load_wav(str(d / "a-norm.wav"))
     assert abs(len(out) - 16000) < 10
+    from voicesplit_tpu.dsp.loudness import integrated_lufs
+
+    assert abs(integrated_lufs(out, 16000) - (-23.0)) < 1.0
+    # peak mode scales to --peak (0.95 default)
+    main(["--root", str(tmp_path / "tree"), "--num_workers", "1",
+          "--mode", "peak", "--suffix=-peak"])
+    out = load_wav(str(d / "a-peak.wav"))
     assert np.isclose(np.abs(out).max(), 0.95, atol=0.01)
 
 

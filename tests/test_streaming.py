@@ -162,6 +162,28 @@ def test_causal_features_ignore_future(causal_streaming_setup):
     assert np.abs(np.asarray(full[:, t + 1 :]) - np.asarray(full2[:, t + 1 :])).max() > 1e-4
 
 
+def test_causal_tail_frames_see_recent_input(causal_streaming_setup):
+    """Regression: the causal pre-shift must not truncate the most recent
+    inputs at the array end.  Without the internal shift-buffer frames,
+    the last Σe (= conv_context) frames of ANY sequence silently read
+    zeros in place of their newest inputs — so a window ending at frame t
+    disagreed with the full pass at frame t by ~3e-2, and streaming
+    chunk boundaries disagreed with offline causal inference."""
+    c, variables = causal_streaming_setup
+    model = make_masknet(c, streaming=True)
+    ctx = model.conv_context_left
+    rng = np.random.default_rng(5)
+    T = 260
+    spec = rng.uniform(0, 1, (1, T, 601)).astype(np.float32)
+    full = model.apply(variables, jnp.asarray(spec), method=model.conv_features)
+    for t in (ctx, 180, T - 1):
+        win = spec[:, t - ctx : t + 1]  # window ENDING exactly at t
+        feats = model.apply(variables, jnp.asarray(win), method=model.conv_features)
+        np.testing.assert_allclose(
+            np.asarray(feats[:, -1]), np.asarray(full[:, t]), atol=1e-6
+        )
+
+
 def test_causal_streaming_chunk_invariance_and_latency(causal_streaming_setup):
     c, variables = causal_streaming_setup
     sep20 = StreamingSeparator(c, variables, chunk_frames=20)

@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--streaming", action="store_true")
     parser.add_argument("--chunk_frames", type=int, default=50)
     parser.add_argument("--griffin_lim", action="store_true")
+    parser.add_argument("--sequence_parallel", action="store_true",
+                        help="shard the time axis over all devices "
+                             "(long-form inference, parallel/sequence.py)")
     args = parser.parse_args(argv)
 
     from voicesplit_tpu.utils.cache import enable_compile_cache
@@ -103,6 +106,10 @@ def main(argv=None):
 
         sep = StreamingSeparator(config, variables, chunk_frames=args.chunk_frames)
         out = sep.separate(mixed[None], emb)[0]
+    elif args.sequence_parallel:
+        from voicesplit_tpu.parallel.sequence import separate_long
+
+        out = separate_long(config, variables, mixed, emb[0])
     else:
         spec, phase = ap.wav2spec(mixed)
         mask = model.apply(variables, spec[None], emb, train=False)

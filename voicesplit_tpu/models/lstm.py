@@ -36,18 +36,35 @@ def lstm_scan(
     h0: jnp.ndarray,  # [B, H]
     c0: jnp.ndarray,  # [B, H]
     reverse: bool = False,
+    frame_mask: Optional[jnp.ndarray] = None,  # [T] or [B, T] 0/1
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Recurrent scan; returns ``([B, T, H], final (h, c))``."""
+    """Recurrent scan; returns ``([B, T, H], final (h, c))``.
 
-    def step(carry, xp_t):
+    Frames where `frame_mask` is 0 leave the carry untouched (the state
+    skips over them) — used by the sequence-parallel engine so alignment
+    padding cannot perturb the recurrence that real frames see."""
+
+    def step(carry, xs_t):
         h, c = carry
+        if frame_mask is None:
+            xp_t = xs_t
+        else:
+            xp_t, m_t = xs_t  # m_t: [B, 1]
         gates = xp_t + h @ w_hh  # [B, 4H]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        if frame_mask is not None:
+            c_new = jnp.where(m_t, c_new, c)
+            h_new = jnp.where(m_t, h_new, h)
+        return (h_new, c_new), h_new
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] — scan over time
+    if frame_mask is not None:
+        m = jnp.broadcast_to(
+            jnp.atleast_2d(frame_mask), (x_proj.shape[0], x_proj.shape[1])
+        ).astype(bool)
+        xs = (xs, jnp.swapaxes(m, 0, 1)[..., None])  # [T, B, 1]
     (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1), (h_f, c_f)
 

@@ -400,14 +400,27 @@ class MaskNet(nn.Module):
         lookahead); zero in causal mode."""
         return 0 if self.causal else self.conv_context
 
-    def conv_features(self, spec: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def conv_features(
+        self,
+        spec: jnp.ndarray,
+        train: bool = False,
+        edge_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         """``[B, T, F]`` → flattened conv features ``[B, T, 8F]``.
 
         In causal mode each block's input is pre-shifted right (in time)
         by the block's one-sided extent e: symmetric-SAME-conv(shift(x, e))
         ≡ left-padded causal conv — output frame t then reads input
         frames [t-2e, t] only, layer by layer, so the whole stack needs
-        zero lookahead (`conv_context_right == 0`)."""
+        zero lookahead (`conv_context_right == 0`).
+
+        `edge_mask` (``[B or 1, T]`` 0/1): frames marked 0 are forced to
+        zero at the input AND after every block, which makes them behave
+        exactly like the zero PADDING of a pass over the valid frames
+        alone (a frame marked 0 contributes zeros to its neighbours'
+        convolutions at every layer, not conv-of-zero-input activations).
+        Used by the sequence-parallel engine (`parallel/sequence.py`) for
+        shard-alignment padding and out-of-sequence halos."""
 
         def maybe_shift(h, e):
             if not self.causal or e == 0:
@@ -418,20 +431,47 @@ class MaskNet(nn.Module):
 
         B, T, F = spec.shape
         x = spec.astype(self.compute_dtype)[..., None]  # NHWC
+        if self.causal:
+            # append Σe buffer frames so the per-layer right-shifts never
+            # truncate real data: shift(x, e) ≡ left-padded causal conv
+            # only while the array has e spare positions per layer —
+            # without the buffer the last Σe frames of any sequence
+            # silently ignore their most recent inputs (the buffer's
+            # VALUES are never read for real frames, only its length
+            # matters; verified by tests/test_streaming.py::
+            # test_causal_tail_frames_see_recent_input)
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (0, self.conv_context)
+            x = jnp.pad(x, pad)
+            if edge_mask is not None:
+                edge_mask = jnp.pad(edge_mask, ((0, 0), (0, self.conv_context)))
+
+        mask = None
+        if edge_mask is not None:
+            mask = edge_mask.astype(self.compute_dtype)[:, :, None, None]
+
+        def apply_mask(h):
+            return h if mask is None else h * mask
         if self.conv_blocks[0].folded:
             from voicesplit_tpu.ops.conv_fold import fold_input, unfold_output
 
-            # fold ONCE for the whole stack (pad + free bitcast reshape)
-            xf = fold_input(x)
+            # fold ONCE for the whole stack (pad + free bitcast reshape);
+            # folding keeps time on axis 1, so the mask broadcasts as-is
+            xf = fold_input(apply_mask(x))
             if self._use_fused_chain(train):
+                if edge_mask is not None:
+                    raise NotImplementedError(
+                        "edge_mask is not supported by the fused conv chain"
+                    )
                 xf = self._fused_chain_features(xf, T)
             else:
                 for block, e in zip(self.conv_blocks, self._time_extents):
-                    xf = block(maybe_shift(xf, e), train)
+                    xf = apply_mask(block(maybe_shift(xf, e), train))
             x = unfold_output(xf, F)
         else:
+            x = apply_mask(x)
             for block, e in zip(self.conv_blocks, self._time_extents):
-                x = block(maybe_shift(x, e), train)
+                x = apply_mask(block(maybe_shift(x, e), train))
         # [B, T, F, 8] → [B, T, 8F].  The reference flattens channel-major
         # ([B,C,T,F].transpose(1,2).view → index c*F+f, `:73-75`); we
         # flatten frequency-major (f*C+c), which is FREE from NHWC, while
@@ -443,6 +483,8 @@ class MaskNet(nn.Module):
         # permutation-invariant, so training dynamics are identical.
         # (Anything importing reference-trained W_ih rows must permute
         # rows by f*C+c ↔ c*F+f.)
+        if self.causal:
+            x = x[:, :T]  # drop the shift-buffer frames
         return x.reshape(B, T, self.conv_out_channels * F)
 
     def mask_head(
