@@ -90,6 +90,71 @@ def test_cli_separate(workspace, capsys):
     assert len(wav) > 0 and np.isfinite(wav).all()
 
 
+def test_cli_separate_sequence_parallel(workspace, capsys):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.separate import main
+
+    ckpt = os.path.join(c.train_config.logs_path, "checkpoint_3.msgpack")
+    mixed = sorted((root / "test").glob("*-mixed.wav"))[0]
+    emb = sorted((root / "test").glob("*-emb.npy"))[0]
+    out_path = str(root / "separated_sp.wav")
+    main([
+        "--checkpoint_path", ckpt, "--mixed_wav", str(mixed),
+        "--emb", str(emb), "--output", out_path, "--sequence_parallel",
+    ])
+    from voicesplit_tpu.dsp.audio_io import load_wav
+
+    wav = load_wav(out_path, SR)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_cli_export(workspace, capsys, tmp_path):
+    root, c, cfg_path = workspace
+    from voicesplit_tpu.cli.export import main
+
+    ckpt = os.path.join(c.train_config.logs_path, "checkpoint_3.msgpack")
+    out = str(tmp_path / "sep.stablehlo")
+    main(["--checkpoint_path", ckpt, "--output", out, "--seconds", "0.6"])
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+
+    # the artifact must run and agree with the live pipeline
+    from voicesplit_tpu.export import load_artifact, make_e2e_separation_fn
+    from voicesplit_tpu.train.checkpoint import load_model_variables
+
+    fn = load_artifact(out)
+    rng = np.random.default_rng(0)
+    L = int(SR * 0.6)
+    wav = (0.1 * rng.standard_normal((2, L))).astype(np.float32)
+    emb = rng.standard_normal((2, c.model.emb_dim)).astype(np.float32)
+    got = np.asarray(fn(wav, emb))
+    variables = load_model_variables(c, ckpt)
+    ref = np.asarray(make_e2e_separation_fn(c, variables)(wav, emb))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # streaming artifact (needs a uni-LSTM checkpoint — the BiLSTM one
+    # from cli.train has incompatible lstm/fc1 shapes)
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.train.checkpoint import save_checkpoint
+    from voicesplit_tpu.train.state import TrainState
+
+    sm = make_masknet(c, streaming=True)
+    sv = sm.init(jax.random.PRNGKey(0), jnp.zeros((1, 20, 601)), jnp.zeros((1, 256)))
+    ckpt2 = save_checkpoint(
+        str(tmp_path),
+        TrainState(step=jnp.int32(0), params=sv["params"],
+                   batch_stats=sv.get("batch_stats", {}), opt_state={}),
+        c,
+    )
+    out2 = str(tmp_path / "chunk.stablehlo")
+    main(["--checkpoint_path", ckpt2, "--output", out2, "--streaming",
+          "--chunk_frames", "10"])
+    manifest = json.load(open(out2 + ".json"))
+    assert manifest["chunk_samples"] == 10 * 160
+
+
 def test_cli_convert(workspace, capsys, tmp_path):
     root, c, cfg_path = workspace
     import numpy as np

@@ -38,14 +38,13 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    import jax
     import numpy as np
 
     from voicesplit_tpu.config import load_config
     from voicesplit_tpu.data.dataset import _load_array
     from voicesplit_tpu.dsp.processor import make_audio_processor
     from voicesplit_tpu.models.masknet import make_masknet
-    from voicesplit_tpu.train.checkpoint import config_from_checkpoint, load_checkpoint
+    from voicesplit_tpu.train.checkpoint import config_from_checkpoint
 
     config = (
         load_config(args.config_path)
@@ -53,7 +52,6 @@ def main(argv=None):
         else config_from_checkpoint(args.checkpoint_path)
     )
     ap = make_audio_processor(config)
-    payload = load_checkpoint(args.checkpoint_path)
 
     # --- d-vector ------------------------------------------------------
     if args.emb:
@@ -83,23 +81,12 @@ def main(argv=None):
 
     mixed = ap.load_wav(args.mixed_wav)
 
-    model = make_masknet(config, streaming=args.streaming)
-    variables = {"params": None}
-    import flax.serialization
+    from voicesplit_tpu.train.checkpoint import load_model_variables
 
-    # rebuild variables from checkpoint against a fresh init
-    T = ap.frames_for(len(mixed)) if not args.streaming else 80
-    init_vars = model.init(
-        jax.random.PRNGKey(0),
-        np.zeros((1, T, ap.num_freq), np.float32),
-        np.zeros((1, config.model.emb_dim), np.float32),
+    model = make_masknet(config, streaming=args.streaming)
+    variables = load_model_variables(
+        config, args.checkpoint_path, streaming=args.streaming
     )
-    variables = {
-        "params": flax.serialization.from_state_dict(init_vars["params"], payload["model"]),
-        "batch_stats": flax.serialization.from_state_dict(
-            init_vars.get("batch_stats", {}), payload["batch_stats"]
-        ),
-    }
 
     if args.streaming:
         from voicesplit_tpu.streaming import StreamingSeparator

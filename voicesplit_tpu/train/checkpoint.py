@@ -85,6 +85,49 @@ def config_from_checkpoint(path: str) -> Config:
     return load_config_from_str(load_checkpoint(path)["config_str"])
 
 
+def load_model_variables(config: Config, checkpoint_path: str, streaming: bool = False):
+    """Inference-ready ``{"params", "batch_stats"}`` from a checkpoint
+    (fresh init as the deserialization template — the shared tail of
+    every inference CLI)."""
+    import jax
+    import numpy as np_
+
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+    from voicesplit_tpu.models.masknet import make_masknet
+
+    ap = AudioProcessor(config.audio)
+    model = make_masknet(config, streaming=streaming)
+    payload = load_checkpoint(checkpoint_path)
+    init_vars = model.init(
+        jax.random.PRNGKey(0),
+        np_.zeros((1, 80, ap.num_freq), np_.float32),
+        np_.zeros((1, config.model.emb_dim), np_.float32),
+    )
+    params = flax.serialization.from_state_dict(init_vars["params"], payload["model"])
+    # from_state_dict does NOT validate shapes; a mismatched checkpoint
+    # (e.g. a BiLSTM one fed to streaming=True) would otherwise surface
+    # as a confusing ScopeParamShapeError deep inside apply
+    bad = [
+        f"{jax.tree_util.keystr(path)}: checkpoint {np_.shape(got)} vs model {np_.shape(want)}"
+        for (path, got), want in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree.leaves(init_vars["params"]),
+        )
+        if np_.shape(got) != np_.shape(want)
+    ]
+    if bad:
+        raise ValueError(
+            f"checkpoint {checkpoint_path!r} does not fit the "
+            f"{'streaming ' if streaming else ''}model: " + "; ".join(bad)
+        )
+    return {
+        "params": params,
+        "batch_stats": flax.serialization.from_state_dict(
+            init_vars.get("batch_stats", {}), payload["batch_stats"]
+        ),
+    }
+
+
 def restore_train_state(
     payload: Dict[str, Any], template: TrainState, partial: bool = False,
     reinit_layers: Optional[List[str]] = None,
