@@ -110,6 +110,11 @@ def main():
         c.train_config.learning_rate = args.lr
     c.model.causal = args.causal
     ap = AudioProcessor(c.audio)
+    # the reference-default lr=1e-2 plateaus from scratch at B=16 (loss
+    # stuck ~20, grad_norm ~1e-17) — every recorded demo number used 1e-3
+    print(f"lr={c.train_config.learning_rate}"
+          + ("  (NOTE: 1e-2 is known to plateau here; use --lr 1e-3)"
+             if c.train_config.learning_rate >= 1e-2 else ""), flush=True)
 
     embeddings = None
     emb_mode_iter = args.emb

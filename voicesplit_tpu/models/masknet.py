@@ -71,7 +71,12 @@ class _FoldedConv(nn.Module):
     param names/shapes as `nn.Conv` so checkpoints and sharding rules are
     interchangeable with every other conv path.  Params are declared in
     ``setup`` so the parent can read them directly (the fused Pallas
-    chain, `ops/conv_fused.py`, consumes whole-stack weights)."""
+    chain, `ops/conv_fused.py`, consumes whole-stack weights).
+
+    ``causal`` pads the time axis ``(2e, 0)`` instead of ``(e, e)`` —
+    identical tap formula ``out[t] = Σ_k w[k]·x[t − 2e + k·d]`` to a
+    right-shifted input through a symmetric conv, but with no array-end
+    truncation and no buffer frames in the BatchNorm statistics."""
 
     features: int
     in_features: int
@@ -79,6 +84,7 @@ class _FoldedConv(nn.Module):
     kernel_dilation: Tuple[int, int]
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    causal: bool = False
 
     def setup(self):
         kt, kf = self.kernel_size
@@ -95,11 +101,16 @@ class _FoldedConv(nn.Module):
     def __call__(self, xf: jnp.ndarray) -> jnp.ndarray:
         from voicesplit_tpu.ops.conv_fold import conv2d_folded
 
+        time_padding = None
+        if self.causal:
+            e = (self.kernel_size[0] - 1) * self.kernel_dilation[0] // 2
+            time_padding = (2 * e, 0)
         return conv2d_folded(
             xf.astype(self.dtype),
             self.kernel.astype(self.dtype),
             self.bias.astype(self.dtype),
             self.kernel_dilation,
+            time_padding=time_padding,
         )
 
 
@@ -204,6 +215,7 @@ class ConvBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     folded: bool = False  # input/output in folded frequency layout
     num_freq: int = 0  # real F (folded layout bookkeeping)
+    causal: bool = False  # (2e, 0) time padding instead of (e, e)
 
     def setup(self):
         from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
@@ -211,12 +223,15 @@ class ConvBlock(nn.Module):
         if self.folded:
             self.conv = _FoldedConv(
                 self.features, self.in_features, self.kernel, self.dilation,
-                self.compute_dtype, self.param_dtype, name="Conv_0",
+                self.compute_dtype, self.param_dtype, causal=self.causal,
+                name="Conv_0",
             )
             self.bn = _FoldedBatchNorm(
                 self.num_freq, self.activation, self.features, name="BatchNorm_0"
             )
-        elif tapsum_conv_enabled() or pallas_conv_available():
+        elif not self.causal and (tapsum_conv_enabled() or pallas_conv_available()):
+            # the opt-in experimental conv paths are symmetric-only;
+            # causal mode falls through to nn.Conv below
             impl = "tapsum" if tapsum_conv_enabled() else "pallas"
             self.conv = _CustomConv(
                 self.features, self.kernel, self.dilation,
@@ -232,11 +247,12 @@ class ConvBlock(nn.Module):
             dt, df = self.dilation
             pad_t = (kt - 1) * dt // 2  # reference's explicit ZeroPad2d sizes
             pad_f = (kf - 1) * df // 2
+            time_pad = (2 * pad_t, 0) if self.causal else (pad_t, pad_t)
             self.conv = nn.Conv(
                 self.features,
                 kernel_size=self.kernel,
                 kernel_dilation=self.dilation,
-                padding=((pad_t, pad_t), (pad_f, pad_f)),
+                padding=(time_pad, (pad_f, pad_f)),
                 use_bias=True,
                 dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
@@ -285,10 +301,14 @@ class MaskNet(nn.Module):
     def _use_folded_convs(self) -> bool:
         """Folded frequency layout is the default conv path (2.3x fwd+bwd
         on v5e vs XLA's 64-channel convs, `ops/conv_fold.py`); the
-        opt-in tapsum/Pallas experiments take precedence when set."""
+        opt-in tapsum/Pallas experiments take precedence when set —
+        except in causal mode, where those symmetric-only paths are
+        skipped."""
         from voicesplit_tpu.ops.conv_fold import folded_conv_enabled
         from voicesplit_tpu.ops.conv_pallas import pallas_conv_available
 
+        if self.causal:
+            return folded_conv_enabled()
         return (
             folded_conv_enabled()
             and not tapsum_conv_enabled()
@@ -313,7 +333,8 @@ class MaskNet(nn.Module):
                 self.conv_channels, 1 if i == 0 else self.conv_channels,
                 k, d, self.activation,
                 self.param_dtype, self.compute_dtype,
-                folded=folded, num_freq=self.num_freq, name=f"conv{i + 1}",
+                folded=folded, num_freq=self.num_freq, causal=self.causal,
+                name=f"conv{i + 1}",
             )
             for i, (k, d) in enumerate(specs)
         ]
@@ -322,17 +343,13 @@ class MaskNet(nn.Module):
                 self.conv_out_channels, self.conv_channels, (1, 1), (1, 1),
                 self.activation,
                 self.param_dtype, self.compute_dtype,
-                folded=folded, num_freq=self.num_freq, name=f"conv{len(specs) + 1}",
+                folded=folded, num_freq=self.num_freq, causal=self.causal,
+                name=f"conv{len(specs) + 1}",
             )
         )
         # fused-chain layers (c2=2C): ((kt, kf), time_dilation)
         self._chain_specs = tuple((k, d[0]) for k, d in specs[1:])
         self.conv_blocks = blocks
-        # one-sided time extents e_i = (kt-1)*dt/2 per block, for the
-        # causal-mode pre-shift (static python ints, not params)
-        self._time_extents = tuple(
-            (k[0] - 1) * d[0] // 2 for k, d in specs
-        ) + (0,)  # the 1x1 output conv
         if self.streaming:
             self.lstm = UniLSTM(self.lstm_dim, self.param_dtype, self.compute_dtype, name="lstm")
         else:
@@ -408,11 +425,13 @@ class MaskNet(nn.Module):
     ) -> jnp.ndarray:
         """``[B, T, F]`` → flattened conv features ``[B, T, 8F]``.
 
-        In causal mode each block's input is pre-shifted right (in time)
-        by the block's one-sided extent e: symmetric-SAME-conv(shift(x, e))
-        ≡ left-padded causal conv — output frame t then reads input
-        frames [t-2e, t] only, layer by layer, so the whole stack needs
-        zero lookahead (`conv_context_right == 0`).
+        In causal mode every block pads the time axis ``(2e, 0)`` instead
+        of ``(e, e)`` — the identical tap formula to a right-shifted
+        input through a symmetric conv, so output frame t reads input
+        frames [t-2e, t] only, layer by layer, and the whole stack needs
+        zero lookahead (`conv_context_right == 0`) with no array-end
+        truncation (`tests/test_streaming.py::
+        test_causal_tail_frames_see_recent_input`).
 
         `edge_mask` (``[B or 1, T]`` 0/1): frames marked 0 are forced to
         zero at the input AND after every block, which makes them behave
@@ -421,37 +440,15 @@ class MaskNet(nn.Module):
         convolutions at every layer, not conv-of-zero-input activations).
         Used by the sequence-parallel engine (`parallel/sequence.py`) for
         shard-alignment padding and out-of-sequence halos."""
-
-        def maybe_shift(h, e):
-            if not self.causal or e == 0:
-                return h
-            pad = [(0, 0)] * h.ndim
-            pad[1] = (e, 0)
-            return jnp.pad(h, pad)[:, : h.shape[1]]
-
-        B, T, F = spec.shape
-        x = spec.astype(self.compute_dtype)[..., None]  # NHWC
-        if self.causal:
-            # append Σe buffer frames so the per-layer right-shifts never
-            # truncate real data: shift(x, e) ≡ left-padded causal conv
-            # only while the array has e spare positions per layer —
-            # without the buffer the last Σe frames of any sequence
-            # silently ignore their most recent inputs (the buffer's
-            # VALUES are never read for real frames, only its length
-            # matters; verified by tests/test_streaming.py::
-            # test_causal_tail_frames_see_recent_input)
-            pad = [(0, 0)] * x.ndim
-            pad[1] = (0, self.conv_context)
-            x = jnp.pad(x, pad)
-            if edge_mask is not None:
-                edge_mask = jnp.pad(edge_mask, ((0, 0), (0, self.conv_context)))
-
         mask = None
         if edge_mask is not None:
             mask = edge_mask.astype(self.compute_dtype)[:, :, None, None]
 
         def apply_mask(h):
             return h if mask is None else h * mask
+
+        B, T, F = spec.shape
+        x = spec.astype(self.compute_dtype)[..., None]  # NHWC
         if self.conv_blocks[0].folded:
             from voicesplit_tpu.ops.conv_fold import fold_input, unfold_output
 
@@ -465,13 +462,13 @@ class MaskNet(nn.Module):
                     )
                 xf = self._fused_chain_features(xf, T)
             else:
-                for block, e in zip(self.conv_blocks, self._time_extents):
-                    xf = apply_mask(block(maybe_shift(xf, e), train))
+                for block in self.conv_blocks:
+                    xf = apply_mask(block(xf, train))
             x = unfold_output(xf, F)
         else:
             x = apply_mask(x)
-            for block, e in zip(self.conv_blocks, self._time_extents):
-                x = apply_mask(block(maybe_shift(x, e), train))
+            for block in self.conv_blocks:
+                x = apply_mask(block(x, train))
         # [B, T, F, 8] → [B, T, 8F].  The reference flattens channel-major
         # ([B,C,T,F].transpose(1,2).view → index c*F+f, `:73-75`); we
         # flatten frequency-major (f*C+c), which is FREE from NHWC, while
@@ -483,8 +480,6 @@ class MaskNet(nn.Module):
         # permutation-invariant, so training dynamics are identical.
         # (Anything importing reference-trained W_ih rows must permute
         # rows by f*C+c ↔ c*F+f.)
-        if self.causal:
-            x = x[:, :T]  # drop the shift-buffer frames
         return x.reshape(B, T, self.conv_out_channels * F)
 
     def mask_head(

@@ -118,6 +118,7 @@ def conv2d_folded(
     bias: Optional[jnp.ndarray],
     dilation: Tuple[int, int],
     precision=None,
+    time_padding: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Folded-layout "same" conv.
 
@@ -126,7 +127,8 @@ def conv2d_folded(
     write garbage there (see `pad_column_mask`).
     ``kernel``: canonical [kt, kf, Cin, Cout] weights (freq dilation must
     be 1, as in every reference layer).  Returns folded [B, T, Fb,
-    FOLD*Cout].
+    FOLD*Cout].  ``time_padding`` overrides the symmetric same-padding
+    on the time axis (the causal stack uses ``(2e, 0)``).
     """
     dt, df = dilation
     if df != 1:
@@ -140,7 +142,7 @@ def conv2d_folded(
         xf,
         kf_folded,
         window_strides=(1, 1),
-        padding=((pad_t, pad_t), (pad_b, kb - 1 - pad_b)),
+        padding=(time_padding or (pad_t, pad_t), (pad_b, kb - 1 - pad_b)),
         rhs_dilation=(dt, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,

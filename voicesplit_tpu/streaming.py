@@ -22,7 +22,7 @@ Algorithmic latency = ``ctx_right·hop + (n_fft − hop)`` samples:
 
 - default (symmetric convs): 65·160 + 1040 = 11440 ≈ **715 ms**,
   dominated by the conv lookahead;
-- ``model.causal = true`` (causal conv stack, `masknet.py` pre-shift):
+- ``model.causal = true`` (causal conv stack, `(2e, 0)` time padding):
   the lookahead is zero, leaving only the STFT overlap — 1040 ≈
   **65 ms**.  Train with the flag on so weights match the causal
   geometry.
