@@ -11,11 +11,22 @@ host-sharded waveform batches over a device mesh; the explosion guard
 rides the metrics transfer (no extra sync); checkpoints carry the data-
 iterator state for exact mid-epoch resume; throughput is reported as
 audio-seconds/s/chip.
+
+Preemption safety (new capability; the reference's only recovery is
+manual resume, `train.py:40-60`): preemptible TPU slices get SIGTERM
+with a grace window.  ``fit()`` installs handlers that request a stop;
+the loop then checkpoints at the next step boundary and returns cleanly
+with ``{"preempted": True}``, so the replacement job resumes mid-epoch
+from the saved data-iterator state.  Multi-host runs agree on the flag
+with a tiny allgather at summary_interval boundaries (a signal may
+reach one host only, and ``_host_copy`` is collective).
 """
 
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from typing import Dict, Optional
 
@@ -149,8 +160,49 @@ class Trainer:
         self._prefetch_depth = prefetch_depth
         self._prefetch = None  # built lazily at fit() so checkpoint
         # restore above can rewind the loader before readahead starts
+        self._preempt_requested = False
 
     # ------------------------------------------------------------------
+
+    def request_preemption(self) -> None:
+        """Ask ``fit()`` to checkpoint and return at the next step boundary."""
+        self._preempt_requested = True
+
+    def _handle_signal(self, signum, frame):  # noqa: ARG002 — signal API
+        if self._preempt_requested:
+            # second signal: the operator means it — escalate past the
+            # graceful path (default KeyboardInterrupt semantics)
+            raise KeyboardInterrupt
+        print(f" > Caught signal {signum}: checkpointing at next step boundary")
+        self.request_preemption()
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT → graceful checkpoint-and-exit.
+
+        Python only allows signal handlers on the main thread; inside a
+        worker thread (tests, notebook executors) this is a no-op and
+        `request_preemption()` remains the programmatic path.
+        """
+        if threading.current_thread() is not threading.main_thread():
+            return []
+        previous = []
+        for signum in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous.append((signum, signal.signal(signum, self._handle_signal)))
+            except (ValueError, OSError):  # non-main interpreter contexts
+                pass
+        return previous
+
+    def _preempt_agreed(self) -> bool:
+        """All-host agreement on the preemption flag (collective if multi-host)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([self._preempt_requested])
+            )
+            return bool(np.any(flags))
+        return self._preempt_requested
 
     def _put(self, batch: Dict[str, np.ndarray]):
         return put_batch(self.mesh, batch)
@@ -177,6 +229,24 @@ class Trainer:
             return self._host_copy((self.state.params, self.state.batch_stats))
         return self.state.params, self.state.batch_stats
 
+    def _checkpoint(self, run_eval: bool, step: int, compute_sdr: bool, max_eval_items):
+        """Collective host-copy + process-0 save (optionally + eval)."""
+        data_state = (
+            self._prefetch.state if self._prefetch is not None
+            else self.train_loader.state
+        )
+        host_state = self._host_copy(self.state)  # collective
+        if jax.process_index() == 0:
+            path = save_checkpoint(self.log_dir, host_state, self.config, data_state)
+            print(f"Saved checkpoint to: {path}")
+            if run_eval:
+                m = validate(
+                    self.eval_step, host_state.params, host_state.batch_stats,
+                    self.eval_loader, self.logger, step,
+                    max_items=max_eval_items, compute_sdr=compute_sdr,
+                )
+                print(f" > Eval @ step {step}: {m}")
+
     def fit(
         self,
         max_steps: Optional[int] = None,
@@ -186,6 +256,7 @@ class Trainer:
     ) -> Dict[str, float]:
         """Run the epoch loop; returns the last metrics."""
         c = self.config.train_config
+        restore_handlers = self._install_signal_handlers()
         if self._prefetch is None and self._prefetch_depth > 0:
             from voicesplit_tpu.data.prefetch import DevicePrefetcher
 
@@ -198,63 +269,65 @@ class Trainer:
         last: Dict[str, float] = {}
         t_window = time.time()
         steps_in_window = 0
-        for epoch in range(c.epochs):
-            if validate_at_epoch_start:
-                params, bstats = self._eval_vars()  # collective in multi-host
-                if jax.process_index() == 0:
-                    m = validate(
-                        self.eval_step, params, bstats,
-                        self.eval_loader, self.logger, step,
-                        max_items=max_eval_items, compute_sdr=compute_sdr_in_eval,
-                    )
-                    print(f" > Eval @ step {step}: {m}")
-            for _ in range(self.train_loader.batches_per_epoch()):
-                if self._prefetch is not None:
-                    batch = next(self._prefetch)
-                else:
-                    batch = self._put(next(self.train_loader))
-                self.state, metrics = self.train_step(self.state, batch)
-                step += 1
-                steps_in_window += 1
-
-                if step % c.summary_interval == 0:
-                    m = jax.device_get(metrics)
-                    loss = float(m["loss"])
-                    if bool(m["loss_exploded"]):
-                        print(f"Loss exploded to {loss:.2f} at step {step}!")
-                        return {"loss": loss, "exploded": True, "step": step}
-                    dt = time.time() - t_window
-                    tput = self._audio_seconds_per_batch * steps_in_window / max(dt, 1e-9)
-                    t_window, steps_in_window = time.time(), 0
-                    last = {
-                        "loss": loss,
-                        "grad_norm": float(m["grad_norm"]),
-                        "audio_sec_per_sec_per_chip": tput / self._n_chips,
-                    }
-                    self.logger.log_training(loss, step, grad_norm=last["grad_norm"],
-                                             audio_sec_per_sec_per_chip=last["audio_sec_per_sec_per_chip"])
-
-                if step % c.checkpoint_interval == 0:
-                    data_state = (
-                        self._prefetch.state if self._prefetch is not None
-                        else self.train_loader.state
-                    )
-                    host_state = self._host_copy(self.state)  # collective
-                    params, bstats = host_state.params, host_state.batch_stats
+        multi_host = jax.process_count() > 1
+        try:
+            for epoch in range(c.epochs):
+                if validate_at_epoch_start:
+                    params, bstats = self._eval_vars()  # collective in multi-host
                     if jax.process_index() == 0:
-                        path = save_checkpoint(
-                            self.log_dir, host_state, self.config, data_state
-                        )
-                        print(f"Saved checkpoint to: {path}")
                         m = validate(
                             self.eval_step, params, bstats,
                             self.eval_loader, self.logger, step,
                             max_items=max_eval_items, compute_sdr=compute_sdr_in_eval,
                         )
                         print(f" > Eval @ step {step}: {m}")
+                for _ in range(self.train_loader.batches_per_epoch()):
+                    if self._prefetch is not None:
+                        batch = next(self._prefetch)
+                    else:
+                        batch = self._put(next(self.train_loader))
+                    self.state, metrics = self.train_step(self.state, batch)
+                    step += 1
+                    steps_in_window += 1
 
-                if max_steps is not None and step >= max_steps:
-                    last["step"] = step
-                    return last
-        last["step"] = step
-        return last
+                    if step % c.summary_interval == 0:
+                        m = jax.device_get(metrics)
+                        loss = float(m["loss"])
+                        if bool(m["loss_exploded"]):
+                            print(f"Loss exploded to {loss:.2f} at step {step}!")
+                            return {"loss": loss, "exploded": True, "step": step}
+                        dt = time.time() - t_window
+                        tput = self._audio_seconds_per_batch * steps_in_window / max(dt, 1e-9)
+                        t_window, steps_in_window = time.time(), 0
+                        last = {
+                            "loss": loss,
+                            "grad_norm": float(m["grad_norm"]),
+                            "audio_sec_per_sec_per_chip": tput / self._n_chips,
+                        }
+                        self.logger.log_training(loss, step, grad_norm=last["grad_norm"],
+                                                 audio_sec_per_sec_per_chip=last["audio_sec_per_sec_per_chip"])
+
+                    # Preemption: single-host checks the local flag every
+                    # step (free); multi-host agrees via allgather only at
+                    # summary boundaries so the sync never paces the step.
+                    if (not multi_host and self._preempt_requested) or (
+                        multi_host
+                        and step % c.summary_interval == 0
+                        and self._preempt_agreed()
+                    ):
+                        self._checkpoint(False, step, compute_sdr_in_eval, max_eval_items)
+                        print(f" > Preempted: checkpointed at step {step}, exiting")
+                        last.update({"step": step, "preempted": True})
+                        return last
+
+                    if step % c.checkpoint_interval == 0:
+                        self._checkpoint(True, step, compute_sdr_in_eval, max_eval_items)
+
+                    if max_steps is not None and step >= max_steps:
+                        last["step"] = step
+                        return last
+            last["step"] = step
+            return last
+        finally:
+            for signum, handler in restore_handlers:
+                signal.signal(signum, handler)
