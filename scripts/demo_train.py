@@ -51,6 +51,10 @@ def main():
     ap_args.add_argument("--batch_size", type=int, default=16)
     ap_args.add_argument("--lr", type=float, default=None,
                          help="override config learning rate (reference default 1e-2)")
+    ap_args.add_argument("--lr_decay", action="store_true",
+                         help="cosine-decay the lr to 5%% over the run (the "
+                         "reference uses constant lr; decay stabilizes the "
+                         "late-training eval noise on tiny corpora)")
     ap_args.add_argument("--emb", default="pseudo",
                          choices=("pseudo", "spectral", "ge2e"),
                          help="'spectral' = signal-derived d-vectors; 'ge2e' = "
@@ -65,6 +69,21 @@ def main():
     ap_args.add_argument("--causal", action="store_true",
                          help="train the deployable zero-lookahead model: "
                          "causal conv stack + unidirectional LSTM")
+    ap_args.add_argument("--augment", action="store_true",
+                         help="training-time augmentation: random crop offsets, "
+                         "±5 dB mixing-SNR jitter, [−6,0] dB gain jitter, "
+                         "0.9/1.0/1.1 speed perturb (eval stays unaugmented)")
+    ap_args.add_argument("--allow_short", action="store_true",
+                         help="include speakers with <3 s utterances by placing "
+                         "short sources in a zero bed (partial overlap); adds 5 "
+                         "of the 18 demo speakers the strict rule excludes")
+    ap_args.add_argument("--eval_batches", type=int, default=4,
+                         help="held-out eval batches (B each) averaged per point")
+    ap_args.add_argument("--warm_start", type=str, default=None,
+                         help="BiLSTM checkpoint to convert+seed a --causal run "
+                         "(train/checkpoint.py::bilstm_to_streaming_sd)")
+    ap_args.add_argument("--save_checkpoint", action="store_true",
+                         help="save a checkpoint at the end of the run")
     ap_args.add_argument("--out", default="logs/demo_train")
     args = ap_args.parse_args()
 
@@ -89,16 +108,25 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     corpus = build_corpus(args.out)
-    speakers = discover_utterances(corpus, min_duration=3.0)
-    print(f"corpus: {len(speakers)} speakers (≥3 s after trim)", flush=True)
+    # mixable = ≥3 s after trim (strict reference rule); with
+    # --allow_short the TRAIN pool additionally gets short-utterance
+    # speakers (zero-bed placement), while held-out EVAL speakers are
+    # always drawn from the mixable set so the eval protocol (full 3 s
+    # overlapped mixtures) stays comparable across runs
+    mixable = discover_utterances(corpus, min_duration=3.0)
+    speakers = (
+        discover_utterances(corpus, min_duration=1.0) if args.allow_short else mixable
+    )
+    print(f"corpus: {len(speakers)} speakers ({len(mixable)} ≥3 s after trim)",
+          flush=True)
 
     if args.holdout:
-        ids = sorted(speakers)
-        if args.holdout < 2 or args.holdout > len(ids) - 2:
-            raise SystemExit(f"--holdout must be in [2, {len(ids) - 2}]")
-        eval_ids = ids[-args.holdout:]
-        train_speakers = {s: speakers[s] for s in ids[: -args.holdout]}
-        eval_speakers = {s: speakers[s] for s in eval_ids}
+        mix_ids = sorted(mixable)
+        if args.holdout < 2 or args.holdout > len(mix_ids) - 2:
+            raise SystemExit(f"--holdout must be in [2, {len(mix_ids) - 2}]")
+        eval_ids = mix_ids[-args.holdout:]
+        train_speakers = {s: v for s, v in speakers.items() if s not in eval_ids}
+        eval_speakers = {s: mixable[s] for s in eval_ids}
         print(f"open-set split: train {len(train_speakers)} / "
               f"held-out {eval_ids}", flush=True)
     else:
@@ -108,6 +136,8 @@ def main():
     c.train_config.batch_size = args.batch_size
     if args.lr is not None:
         c.train_config.learning_rate = args.lr
+    if args.lr_decay:
+        c.train_config.lr_decay_steps = args.steps
     c.model.causal = args.causal
     ap = AudioProcessor(c.audio)
     # the reference-default lr=1e-2 plateaus from scratch at B=16 (loss
@@ -161,6 +191,24 @@ def main():
     T = ap.frames_for(L)
 
     state = create_train_state(c, model, jax.random.PRNGKey(0), (B, T, ap.num_freq), tx)
+    if args.warm_start:
+        if not args.causal:
+            raise SystemExit("--warm_start seeds the causal model; add --causal")
+        import flax.serialization
+
+        from voicesplit_tpu.train.checkpoint import bilstm_to_streaming_sd
+        from voicesplit_tpu.train.checkpoint import load_checkpoint as _load_ckpt
+
+        payload = _load_ckpt(args.warm_start)
+        sd = bilstm_to_streaming_sd(payload["model"], c.model.lstm_dim)
+        params = flax.serialization.from_state_dict(state.params, sd)
+        bstats = flax.serialization.from_state_dict(
+            state.batch_stats, payload["batch_stats"]
+        )
+        state = state.replace(params=params, batch_stats=bstats,
+                              opt_state=tx.init(params))
+        print(f"warm-started causal model from BiLSTM ckpt {args.warm_start}",
+              flush=True)
     train_step = make_train_step(c, model, ap, tx)
     eval_step = make_eval_step(c, model, ap)
 
@@ -168,23 +216,47 @@ def main():
         train_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=17, items_per_epoch=256,
         emb_mode=emb_mode_iter, embeddings=embeddings,
+        augment=args.augment, allow_short=args.allow_short,
     )
     # held-out mixtures: disjoint speakers with --holdout (open-set),
-    # otherwise a different seed ⇒ different pairings/crops (closed-set)
+    # otherwise a different seed ⇒ different pairings/crops (closed-set).
+    # Eval is NEVER augmented and never short-padded.
     eval_it = OnlineMixIterator(
         eval_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=977, items_per_epoch=256,
         emb_mode=emb_mode_iter, embeddings=embeddings,
     )
-    eval_batch = {k: jax.device_put(v) for k, v in next(eval_it).items()}
+    eval_batches = [
+        {k: jax.device_put(v) for k, v in next(eval_it).items()}
+        for _ in range(max(1, args.eval_batches))
+    ]
+    # closed-set VALIDATION stream (train speakers, disjoint mixing seed):
+    # the model-selection criterion, exactly the reference's role for its
+    # VCTK dev set (`test_all_checkpoints.py`) — held-out speakers are
+    # never used to pick the step we report
+    val_it = OnlineMixIterator(
+        train_speakers, batch_size=B, sample_rate=ap.sample_rate,
+        audio_len=c.audio.audio_len, seed=51423, items_per_epoch=256,
+        emb_mode=emb_mode_iter, embeddings=embeddings,
+    )
+    val_batches = [
+        {k: jax.device_put(v) for k, v in next(val_it).items()}
+        for _ in range(max(1, args.eval_batches))
+    ]
+
+    def si_snri_on(batches, params, batch_stats):
+        vals = []
+        for eval_batch in batches:
+            m = eval_step(params, batch_stats, eval_batch)
+            est = m["si_snr"]  # SI-SNR(est, target) [B]
+            L_eval = eval_batch["target_wav"].shape[-1]
+            base = si_snr(eval_batch["mixed_wav"][..., :L_eval],
+                          eval_batch["target_wav"])
+            vals.append(jax.device_get(jnp.mean(est - base)))
+        return float(np.mean(vals))
 
     def si_snri(params, batch_stats):
-        m = eval_step(params, batch_stats, eval_batch)
-        est = m["si_snr"]  # SI-SNR(est, target) [B]
-        L_eval = eval_batch["target_wav"].shape[-1]
-        base = si_snr(eval_batch["mixed_wav"][..., :L_eval],
-                      eval_batch["target_wav"])
-        return float(jax.device_get(jnp.mean(est - base)))
+        return si_snri_on(eval_batches, params, batch_stats)
 
     snri_0 = si_snri(state.params, state.batch_stats)
     print(f"step 0: held-out SI-SNRi {snri_0:+.3f} dB", flush=True)
@@ -192,6 +264,7 @@ def main():
     from voicesplit_tpu.data.prefetch import DevicePrefetcher
 
     curve = []
+    best = {"val_si_snri_db": -np.inf}
     t0 = time.time()
     prefetch = DevicePrefetcher(train_it, depth=3)
     for step in range(1, args.steps + 1):
@@ -201,16 +274,31 @@ def main():
             m = jax.device_get(metrics)
             loss, gn = float(m["loss"]), float(m["grad_norm"])
             snri = si_snri(state.params, state.batch_stats)
-            curve.append({"step": step, "loss": loss, "si_snri_db": snri,
-                          "grad_norm": gn})
+            val = si_snri_on(val_batches, state.params, state.batch_stats)
+            point = {"step": step, "loss": loss, "si_snri_db": snri,
+                     "val_si_snri_db": val, "grad_norm": gn}
+            curve.append(point)
+            if val > best["val_si_snri_db"]:
+                best = point
             print(f"step {step}: loss {loss:+.3f}  grad_norm {gn:8.2f}  "
-                  f"held-out SI-SNRi {snri:+.3f} dB", flush=True)
+                  f"val SI-SNRi {val:+.3f}  held-out SI-SNRi {snri:+.3f} dB",
+                  flush=True)
     dt = time.time() - t0
+
+    if args.save_checkpoint:
+        from voicesplit_tpu.train.checkpoint import save_checkpoint
+
+        ckpt_path = save_checkpoint(args.out, state, c)
+        print(f"checkpoint → {ckpt_path}", flush=True)
 
     report = {
         "config": "voicesplit + si_snr (flagship)"
-        + (" causal+uniLSTM" if args.causal else ""),
+        + (" causal+uniLSTM" if args.causal else "")
+        + (" +augment" if args.augment else "")
+        + (" +allow_short" if args.allow_short else "")
+        + (" warm_start" if args.warm_start else ""),
         "emb_mode": args.emb,
+        "eval_mixtures": len(eval_batches) * B,
         "eval_protocol": (
             f"open-set: {args.holdout} held-out speakers" if args.holdout
             else "closed-set: unseen pairings/crops, same speakers"
@@ -220,6 +308,12 @@ def main():
         "batch_size": B,
         "si_snri_start_db": snri_0,
         "si_snri_end_db": curve[-1]["si_snri_db"],
+        # the number to QUOTE: held-out SI-SNRi at the best-validation
+        # step (validation = train speakers, unseen mixing seed — the
+        # reference's checkpoint-selection protocol, never the test set)
+        "si_snri_at_best_val_db": best["si_snri_db"],
+        "best_val_step": best["step"],
+        "best_val_si_snri_db": best["val_si_snri_db"],
         "curve": curve,
         "wall_s": round(dt, 1),
         "audio_s_per_s": round(B * c.audio.audio_len * args.steps / dt, 1),

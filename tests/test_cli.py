@@ -187,3 +187,37 @@ def test_cli_extract_embeddings(workspace, capsys):
     assert "wrote" in out
     embs = sorted((root / "test").glob("*-emb2.npy"))
     assert embs and np.load(embs[0]).shape == (256,)
+
+
+def test_cli_extract_embeddings_corentinj(workspace, tmp_path, capsys):
+    """End-to-end CorentinJ path: a pretrained.pt-style payload
+    ({"model_state": sd}) drives extraction, and the CLI's windowed
+    batched output matches the torch topology run directly on the same
+    linear-power mel."""
+    import torch
+
+    from tests.test_speaker_encoder import _TorchCorentinJ
+    from voicesplit_tpu.cli.extract_embeddings import main
+    from voicesplit_tpu.dsp.audio_io import load_wav
+    from voicesplit_tpu.models.speaker_encoder import corentinj_mel
+
+    root, c, cfg_path = workspace
+    tm = _TorchCorentinJ(hidden=256, emb_dim=256, window=160, stride=80)
+    tm.eval()
+    pt = tmp_path / "pretrained.pt"
+    torch.save({"model_state": tm.state_dict(), "step": 1}, pt)
+
+    main(["--data_dir", c.dataset.test_dir, "--encoder", "corentinj",
+          "--encoder_checkpoint", str(pt), "--out_suffix=-embcj.npy"])
+    assert "wrote" in capsys.readouterr().out
+
+    wavs = sorted((root / "test").glob("*-ref_emb.wav"))
+    embs = sorted((root / "test").glob("*-embcj.npy"))
+    assert wavs and len(embs) == len(wavs)
+    wav = load_wav(str(wavs[0]), 16000)
+    mel = corentinj_mel(wav)
+    if mel.shape[1] >= 160:  # long enough for one partial
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(mel)).numpy()
+        got = np.load(embs[0])
+        np.testing.assert_allclose(got, expected, atol=5e-5)

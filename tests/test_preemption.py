@@ -70,6 +70,7 @@ def test_programmatic_preemption_checkpoints_and_stops(workspace, tmp_path):
 def test_sigterm_mid_run_checkpoints_and_stops(workspace, tmp_path):
     root, c = workspace
     tr = _trainer(c, tmp_path / "logs_sig")
+    prev_handler = signal.getsignal(signal.SIGTERM)
     pid = os.getpid()
     timer = threading.Timer(0.7, lambda: os.kill(pid, signal.SIGTERM))
     timer.start()
@@ -81,8 +82,10 @@ def test_sigterm_mid_run_checkpoints_and_stops(workspace, tmp_path):
     ckpt = latest_checkpoint(str(tmp_path / "logs_sig"))
     assert ckpt is not None
     assert int(load_checkpoint(ckpt)["step"]) == res["step"]
-    # fit() restored the previous handlers on exit
-    assert signal.getsignal(signal.SIGTERM) is not tr._handle_signal
+    # fit() restored the handler that was installed before it ran
+    # (== — bound methods compare by function+instance; `is` on a fresh
+    # bound-method object would be vacuously True for `is not`)
+    assert signal.getsignal(signal.SIGTERM) == prev_handler
 
 
 def test_second_signal_escalates(workspace, tmp_path):
@@ -103,6 +106,11 @@ def test_resume_after_preemption_continues(workspace, tmp_path):
     tr.request_preemption()
     res = tr.fit(max_steps=50, validate_at_epoch_start=False)
     assert res.get("preempted") is True and res["step"] == 4
+
+    # the flag was cleared by the preemption path: a later fit() on the
+    # SAME trainer trains instead of instantly re-preempting (ADVICE r1)
+    res_again = tr.fit(max_steps=6, validate_at_epoch_start=False)
+    assert "preempted" not in res_again and res_again["step"] == 6
 
     ckpt = latest_checkpoint(str(log_dir))
     tr2 = _trainer(c, log_dir, checkpoint_path=ckpt)

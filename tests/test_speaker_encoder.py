@@ -47,6 +47,70 @@ def test_torch_import_matches():
     np.testing.assert_allclose(got, expected, atol=2e-5)
 
 
+class _TorchCorentinJ(torch.nn.Module):
+    """The CorentinJ Real-Time-Voice-Cloning encoder topology, built from
+    its public spec as a golden generator: 3-layer LSTM → Linear → ReLU →
+    L2-norm per partial; partials of `window` frames at 50% overlap;
+    mean-pool + renorm (`embed_utterance`)."""
+
+    def __init__(self, num_mels=40, hidden=24, layers=3, emb_dim=24,
+                 window=16, stride=8):
+        super().__init__()
+        self.lstm = torch.nn.LSTM(num_mels, hidden, num_layers=layers,
+                                  batch_first=True)
+        self.linear = torch.nn.Linear(hidden, emb_dim)
+        self.window, self.stride = window, stride
+
+    def forward(self, mel):  # [M, T]
+        parts = mel.unfold(1, self.window, self.stride).permute(1, 2, 0)  # [P, W, M]
+        _, (h, _) = self.lstm(parts)
+        e = torch.relu(self.linear(h[-1]))
+        e = e / (torch.norm(e, p=2, dim=1, keepdim=True) + 1e-8)
+        raw = e.mean(0)
+        return raw / (torch.norm(raw) + 1e-8)
+
+
+def test_corentinj_import_matches():
+    from voicesplit_tpu.models.speaker_encoder import load_corentinj_state_dict
+
+    tm = _TorchCorentinJ()
+    tm.eval()
+    mel = np.random.default_rng(3).standard_normal((40, 50)).astype(np.float32)
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(mel)).numpy()
+
+    # checkpoint keys as in encoder/pretrained.pt (plus the GE2E loss
+    # scalars the importer must ignore)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    sd["similarity_weight"] = np.asarray([10.0], np.float32)
+    sd["similarity_bias"] = np.asarray([-5.0], np.float32)
+    variables = load_corentinj_state_dict(sd)
+    enc = SpeakerEncoder(num_mels=40, lstm_hidden=24, lstm_layers=3, emb_dim=24,
+                         window=16, stride=8, proj_relu=True, final_renorm=True)
+    got = np.asarray(enc.apply(variables, jnp.asarray(mel)[None]))[0]
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+    assert abs(float(np.linalg.norm(got)) - 1.0) < 1e-5
+
+
+def test_corentinj_full_size_shapes():
+    """The real 256-d topology builds and embeds (weights random)."""
+    from voicesplit_tpu.models.speaker_encoder import (
+        corentinj_mel,
+        make_corentinj_encoder,
+    )
+
+    import jax
+
+    enc = make_corentinj_encoder()
+    wav = np.random.default_rng(0).uniform(-0.5, 0.5, 16000 * 2).astype(np.float32)
+    mel = corentinj_mel(wav)
+    assert mel.shape[0] == 40 and mel.shape[1] >= 160
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(mel)[None])
+    emb = np.asarray(enc.apply(variables, jnp.asarray(mel)[None]))[0]
+    assert emb.shape == (256,)
+    assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-4
+
+
 def test_mulaw_roundtrip():
     from voicesplit_tpu.dsp.processor import AudioProcessor
 

@@ -6,4 +6,5 @@
   python -m voicesplit_tpu.cli.preprocess -c config.json -r root -d train.csv ...
   python -m voicesplit_tpu.cli.extract_embeddings --data_dir dir [...]
   python -m voicesplit_tpu.cli.convert    --input_dir specs/ --output_dir wavs/
+  python -m voicesplit_tpu.cli.import_torch --torch_checkpoint ckpt.pt --output_dir d/
 """

@@ -32,8 +32,11 @@ def main(argv=None):
     parser.add_argument("--encoder_checkpoint", type=str, default=None,
                         help="torch GE2E embedder.pt state_dict")
     parser.add_argument("--encoder", type=str, default="ge2e",
-                        choices=("ge2e", "spectral"),
-                        help="'spectral' = training-free signal-derived d-vectors")
+                        choices=("ge2e", "spectral", "corentinj"),
+                        help="'spectral' = training-free signal-derived "
+                        "d-vectors; 'corentinj' = the Real-Time-Voice-Cloning "
+                        "encoder topology (pass its pretrained.pt as "
+                        "--encoder_checkpoint)")
     parser.add_argument("--glob_wav", type=str, default="*-ref_emb.wav")
     parser.add_argument("--out_suffix", type=str, default="-emb.npy")
     args = parser.parse_args(argv)
@@ -66,8 +69,26 @@ def main(argv=None):
         print(f"wrote {n_ok} spectral embeddings in {args.data_dir}")
         return
 
-    encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
-    if args.encoder_checkpoint and args.encoder_checkpoint.endswith(".msgpack"):
+    if args.encoder == "corentinj":
+        from voicesplit_tpu.models.speaker_encoder import (
+            load_corentinj_state_dict,
+            make_corentinj_encoder,
+        )
+
+        encoder = make_corentinj_encoder()
+        if args.encoder_checkpoint:
+            import torch
+
+            payload = torch.load(args.encoder_checkpoint, map_location="cpu",
+                                 weights_only=False)
+            sd = payload.get("model_state", payload)  # pretrained.pt wraps it
+            sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+            variables = load_corentinj_state_dict(sd)
+        else:
+            print(" > No encoder checkpoint given — using random init (smoke mode)")
+            mel0 = np.zeros((1, 40, encoder.window), np.float32)
+            variables = encoder.init(jax.random.PRNGKey(0), mel0)
+    elif args.encoder_checkpoint and args.encoder_checkpoint.endswith(".msgpack"):
         # native checkpoint written by cli/train_encoder.py — carries
         # its own topology
         from flax import serialization
@@ -85,11 +106,13 @@ def main(argv=None):
     elif args.encoder_checkpoint:
         import torch
 
+        encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
         sd = torch.load(args.encoder_checkpoint, map_location="cpu")
         sd = {k: v.numpy() for k, v in sd.items()}
         variables = load_torch_state_dict(sd)
     else:
         print(" > No encoder checkpoint given — using random init (smoke mode)")
+        encoder = SpeakerEncoder(num_mels=config.audio.active.num_mels)
         mel0 = np.zeros((1, config.audio.active.num_mels, 80), np.float32)
         variables = encoder.init(jax.random.PRNGKey(0), mel0)
 
@@ -106,8 +129,14 @@ def main(argv=None):
     for path in files:
         out_path = path.replace(args.glob_wav.replace("*", ""), "") + args.out_suffix
         wav = ap.load_wav(path)
-        # bucketed: one compiled mel program per 1 s length bucket
-        mel = np.asarray(ap.get_mel_bucketed(wav), np.float32)  # [n_mels, T]
+        if args.encoder == "corentinj":
+            # CorentinJ's frontend: LINEAR-power 40-band mel, 25 ms/10 ms
+            from voicesplit_tpu.models.speaker_encoder import corentinj_mel
+
+            mel = corentinj_mel(wav, ap.sample_rate)
+        else:
+            # bucketed: one compiled mel program per 1 s length bucket
+            mel = np.asarray(ap.get_mel_bucketed(wav), np.float32)  # [n_mels, T]
         T = mel.shape[1]
         if T < W:
             # sentinel for too-short references (reference `:147-152`)
@@ -126,6 +155,8 @@ def main(argv=None):
                 )
             parts.append(np.asarray(apply_win(chunk))[:valid])
         emb = np.concatenate(parts).mean(axis=0)
+        if encoder.final_renorm:  # CorentinJ renorms the pooled embedding
+            emb = emb / (np.linalg.norm(emb) + 1e-8)
         np.save(out_path, emb.astype(np.float32))
         n_ok += 1
     print(f"wrote {n_ok} embeddings ({n_short} sentinels) in {args.data_dir}")

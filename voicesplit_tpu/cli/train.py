@@ -40,18 +40,16 @@ def main(argv=None):
     parser.add_argument("--process_id", type=int, default=None,
                         help="multi-host: this host's process index")
     parser.add_argument("--debug_nans", action="store_true",
-                        help="enable jax_debug_nans (debugging companion to the "
-                             "on-device loss-explosion guard)")
+                        help="NaN-triage mode: check the explosion guard every "
+                             "step, keep the pre-step state, and on explosion "
+                             "re-run the failing step unjitted under "
+                             "jax_debug_nans to name the first NaN-producing op")
     args = parser.parse_args(argv)
 
     if args.num_processes and args.num_processes > 1:
         from voicesplit_tpu.parallel import initialize_distributed
 
         initialize_distributed(args.coordinator, args.num_processes, args.process_id)
-    if args.debug_nans:
-        import jax
-
-        jax.config.update("jax_debug_nans", True)
 
     from voicesplit_tpu.utils.cache import enable_compile_cache
 
@@ -105,6 +103,7 @@ def main(argv=None):
         checkpoint_path=args.checkpoint_path,
         model_parallel=args.model_parallel,
         train_loader=train_loader,
+        debug_nans=args.debug_nans,
     )
     result = trainer.fit(max_steps=args.max_steps, compute_sdr_in_eval=args.eval_sdr)
     print(f"done: {result}")

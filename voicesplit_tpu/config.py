@@ -120,7 +120,14 @@ class TrainConfig:
     checkpoint_interval: int = 500
     # --- TPU-native additions (absent in the reference) ---
     compute_dtype: str = "bfloat16"  # dtype of conv/LSTM activations on the MXU
+    check_interval: int = 10  # loss-guard + multi-host preemption-agreement
+    # cadence (steps), independent of summary_interval: a huge summary
+    # interval can no longer delay explosion detection or lose the
+    # preemption grace window (ADVICE r1)
     grad_clip_norm: Optional[float] = None
+    lr_decay_steps: Optional[int] = None  # cosine-decay horizon (constant
+    # lr, the reference behavior, when None)
+    lr_decay_alpha: float = 0.05  # final lr fraction of the peak
     data_axis: str = "data"  # mesh axis for data parallelism
     model_axis: str = "model"  # mesh axis for model parallelism (wide variant)
 

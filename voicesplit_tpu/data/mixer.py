@@ -55,28 +55,75 @@ def mix_overlap(
     sample_rate: int,
     audio_len: float = 3.0,
     trim_top_db: float = 20.0,
+    rng: Optional[np.random.Generator] = None,
+    crop_jitter: bool = False,
+    snr_jitter_db: float = 0.0,
+    gain_jitter_db: float = 0.0,
+    allow_short: bool = False,
+    min_clean_s: float = 1.0,
 ) -> Optional[MixedSample]:
     """Paper-style overlapped mix; returns None if an utterance is too short
-    after silence trimming (the reference discards those, `:316-318`)."""
+    after silence trimming (the reference discards those, `:316-318`).
+
+    Defaults reproduce the reference exactly (head crop, unit gains,
+    ≥`audio_len` sources).  The opt-in augmentations (all drawn from the
+    caller's `rng`, keeping the pipeline deterministic/resumable):
+
+    - ``crop_jitter`` — random crop offset instead of the head crop, so a
+      long utterance yields different `audio_len` windows every epoch.
+    - ``snr_jitter_db`` — interference gain jittered uniformly in
+      ±that many dB before summing (mixing-SNR diversity).
+    - ``gain_jitter_db`` — post-normalization attenuation of target AND
+      mixture by a shared uniform [−x, 0] dB gain (absolute-level
+      diversity; the ideal mask is unchanged).
+    - ``allow_short`` — sources shorter than `audio_len` (but with the
+      clean source ≥ `min_clean_s`) are placed at a random offset in a
+      zero bed instead of rejected: partial overlap, and target silence
+      the mask must zero — both realistic, and it admits speakers the
+      strict ≥3 s rule would exclude entirely.
+    """
     emb_audio, _ = trim_silence(emb_audio, top_db=trim_top_db)
     clean_audio, _ = trim_silence(clean_audio, top_db=trim_top_db)
     interference, _ = trim_silence(interference, top_db=trim_top_db)
 
     n = int(sample_rate * audio_len)
     if clean_audio.shape[0] < n or interference.shape[0] < n:
-        return None
+        if not (allow_short and rng is not None):
+            return None
+        if clean_audio.shape[0] < int(sample_rate * min_clean_s):
+            return None
+        if interference.shape[0] < 1:
+            return None
 
-    clean_audio = clean_audio[:n]
-    interference = interference[:n]
+    def place(x: np.ndarray) -> np.ndarray:
+        if x.shape[0] >= n:
+            start = 0
+            if crop_jitter and rng is not None and x.shape[0] > n:
+                start = int(rng.integers(0, x.shape[0] - n + 1))
+            return x[start : start + n]
+        out = np.zeros(n, dtype=x.dtype)
+        off = int(rng.integers(0, n - x.shape[0] + 1)) if rng is not None else 0
+        out[off : off + x.shape[0]] = x
+        return out
+
+    clean_audio = place(clean_audio)
+    interference = place(interference)
+    if snr_jitter_db > 0.0 and rng is not None:
+        interference = interference * 10.0 ** (
+            rng.uniform(-snr_jitter_db, snr_jitter_db) / 20.0
+        )
     mixed = clean_audio + interference
 
     norm = np.max(np.abs(mixed)) * 1.1
     if norm <= 0:
         return None
+    gain = 1.0
+    if gain_jitter_db > 0.0 and rng is not None:
+        gain = 10.0 ** (rng.uniform(-gain_jitter_db, 0.0) / 20.0)
     return MixedSample(
         emb_wav=emb_audio.astype(np.float32),
-        target_wav=(clean_audio / norm).astype(np.float32),
-        mixed_wav=(mixed / norm).astype(np.float32),
+        target_wav=(clean_audio * (gain / norm)).astype(np.float32),
+        mixed_wav=(mixed * (gain / norm)).astype(np.float32),
     )
 
 

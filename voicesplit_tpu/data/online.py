@@ -74,14 +74,28 @@ class _WavCache:
     def __init__(self, capacity: int, sample_rate: int):
         self.capacity = capacity
         self.sample_rate = sample_rate
-        self._store: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._store: OrderedDict[Tuple[str, float], np.ndarray] = OrderedDict()
 
-    def get(self, path: str) -> np.ndarray:
-        if path in self._store:
-            self._store.move_to_end(path)
-            return self._store[path]
-        wav = load_wav(path, self.sample_rate)
-        self._store[path] = wav
+    def get(self, path: str, speed: float = 1.0) -> np.ndarray:
+        """Wav at `sample_rate`, optionally speed-perturbed by `speed`
+        (polyphase resample; >1 = faster/shorter).  Cached per (path,
+        speed) so a 3-point perturb set costs 3 cache slots per wav."""
+        key = (path, speed)
+        if key in self._store:
+            self._store.move_to_end(key)
+            return self._store[key]
+        if speed == 1.0:
+            wav = load_wav(path, self.sample_rate)
+        else:
+            from fractions import Fraction
+
+            from scipy.signal import resample_poly
+
+            frac = Fraction(speed).limit_denominator(20)
+            wav = resample_poly(
+                self.get(path), frac.denominator, frac.numerator
+            ).astype(np.float32)
+        self._store[key] = wav
         if len(self._store) > self.capacity:
             self._store.popitem(last=False)
         return wav
@@ -115,6 +129,12 @@ class OnlineMixIterator:
         num_shards: int = 1,
         cache_size: int = 512,
         max_retries: int = 10,
+        augment: bool = False,
+        crop_jitter: Optional[bool] = None,
+        snr_jitter_db: Optional[float] = None,
+        gain_jitter_db: Optional[float] = None,
+        speed_perturb: Optional[Sequence[float]] = None,
+        allow_short: bool = False,
     ):
         if len(speakers) < 2:
             raise ValueError("need at least 2 speakers to mix")
@@ -135,6 +155,17 @@ class OnlineMixIterator:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.max_retries = max_retries
+        # augmentation (open-set quality lever, docs/RESULTS.md): the
+        # `augment` master switch turns on the standard set; individual
+        # kwargs override.  All draws flow through the per-item rng so
+        # the stream stays deterministic + resumable.
+        self.crop_jitter = augment if crop_jitter is None else crop_jitter
+        self.snr_jitter_db = (5.0 if augment else 0.0) if snr_jitter_db is None else snr_jitter_db
+        self.gain_jitter_db = (6.0 if augment else 0.0) if gain_jitter_db is None else gain_jitter_db
+        if speed_perturb is None:
+            speed_perturb = (0.9, 1.0, 1.1) if augment else (1.0,)
+        self.speed_perturb = tuple(speed_perturb)
+        self.allow_short = allow_short
         self._cache = _WavCache(cache_size, sample_rate)
         self._emb_cache: Dict[str, np.ndarray] = {}
         self._state = IteratorState(seed=seed)
@@ -206,12 +237,20 @@ class OnlineMixIterator:
             )
             intf_utts = self.speakers[intf_spk]
             intf_path = intf_utts[int(rng.integers(0, len(intf_utts)))]
+            sp = self.speed_perturb
+            clean_speed = float(sp[int(rng.integers(0, len(sp)))])
+            intf_speed = float(sp[int(rng.integers(0, len(sp)))])
             sample = mix_overlap(
                 self._cache.get(emb_path),
-                self._cache.get(clean_path),
-                self._cache.get(intf_path),
+                self._cache.get(clean_path, clean_speed),
+                self._cache.get(intf_path, intf_speed),
                 self.sample_rate,
                 self.audio_len,
+                rng=rng,
+                crop_jitter=self.crop_jitter,
+                snr_jitter_db=self.snr_jitter_db,
+                gain_jitter_db=self.gain_jitter_db,
+                allow_short=self.allow_short,
             )
             if sample is None:
                 continue  # utterance too short — redraw deterministically

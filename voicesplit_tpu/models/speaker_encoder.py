@@ -26,7 +26,16 @@ from voicesplit_tpu.models.lstm import UniLSTM
 
 
 class SpeakerEncoder(nn.Module):
-    """d-vector extractor: mel ``[B, n_mels, T]`` → embedding ``[B, emb_dim]``."""
+    """d-vector extractor: mel ``[B, n_mels, T]`` → embedding ``[B, emb_dim]``.
+
+    Defaults are the Seungwonpark GE2E topology the reference uses
+    (3×LSTM(40→768), window 80 / stride 40, last-frame → proj →
+    per-window L2-norm → mean).  ``proj_relu`` + ``final_renorm`` (with
+    hidden 256, window 160 / stride 80) give the CorentinJ
+    Real-Time-Voice-Cloning encoder — the reference's second embedding
+    source (`notebooks/GE2E-CorentinJ-ExtractSpeakerEmbedding.ipynb`):
+    relu(linear(h_last)), normalized per partial, mean-pooled, renormed.
+    """
 
     num_mels: int = 40
     lstm_hidden: int = 768
@@ -34,6 +43,8 @@ class SpeakerEncoder(nn.Module):
     emb_dim: int = 256
     window: int = 80
     stride: int = 40
+    proj_relu: bool = False
+    final_renorm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,10 +62,26 @@ class SpeakerEncoder(nn.Module):
             x, _ = UniLSTM(
                 self.lstm_hidden, compute_dtype=self.compute_dtype, name=f"lstm{i}"
             )(x)
-        x = x[:, -1, :]  # last frame only
+        x = x[:, -1, :]  # last frame only (≡ h_last of the top layer)
         x = nn.Dense(self.emb_dim, dtype=self.compute_dtype, name="proj")(x)
-        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        return x.reshape(B, n_win, self.emb_dim).mean(axis=1)
+        if self.proj_relu:
+            x = nn.relu(x)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+        out = x.reshape(B, n_win, self.emb_dim).mean(axis=1)
+        if self.final_renorm:
+            out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
+        return out
+
+
+def make_corentinj_encoder(compute_dtype: jnp.dtype = jnp.float32) -> SpeakerEncoder:
+    """The CorentinJ Real-Time-Voice-Cloning encoder topology
+    (3×LSTM(40→256) + Linear(256→256) + ReLU, 160-frame partials with 50%
+    overlap, per-partial L2-norm, mean-pool, renorm)."""
+    return SpeakerEncoder(
+        num_mels=40, lstm_hidden=256, lstm_layers=3, emb_dim=256,
+        window=160, stride=80, proj_relu=True, final_renorm=True,
+        compute_dtype=compute_dtype,
+    )
 
 
 def load_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
@@ -85,6 +112,60 @@ def load_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
         "bias": jnp.asarray(np.asarray(state_dict["proj.linear_layer.bias"])),
     }
     return {"params": params}
+
+
+def load_corentinj_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
+    """Convert a CorentinJ Real-Time-Voice-Cloning ``encoder/pretrained.pt``
+    state dict to `make_corentinj_encoder` params.
+
+    The checkpoint payload is ``{"model_state": sd, ...}`` (pass
+    ``payload["model_state"]`` here) with keys ``lstm.weight_ih_l{k}``
+    ``[4H, in]`` / ``weight_hh_l{k}`` / the two biases (torch gate order
+    [i, f, g, o] — same as `models/lstm.py`), plus ``linear.weight`` /
+    ``linear.bias``; the GE2E loss scalars ``similarity_weight`` /
+    ``similarity_bias`` are training-only and ignored.
+    """
+    params: Dict = {}
+    nl = 0
+    while f"lstm.weight_ih_l{nl}" in state_dict:
+        nl += 1
+    if nl == 0:
+        raise ValueError("no lstm.weight_ih_l0 — not a CorentinJ encoder state dict")
+    for k in range(nl):
+        params[f"lstm{k}"] = {
+            "fwd_w_ih": jnp.asarray(np.asarray(state_dict[f"lstm.weight_ih_l{k}"]).T),
+            "fwd_w_hh": jnp.asarray(np.asarray(state_dict[f"lstm.weight_hh_l{k}"]).T),
+            "fwd_b": jnp.asarray(
+                np.asarray(state_dict[f"lstm.bias_ih_l{k}"])
+                + np.asarray(state_dict[f"lstm.bias_hh_l{k}"])
+            ),
+        }
+    params["proj"] = {
+        "kernel": jnp.asarray(np.asarray(state_dict["linear.weight"]).T),
+        "bias": jnp.asarray(np.asarray(state_dict["linear.bias"])),
+    }
+    return {"params": params}
+
+
+def corentinj_mel(
+    wav: np.ndarray, sample_rate: int = 16000, n_fft: int = 400,
+    hop_length: int = 160, n_mels: int = 40,
+) -> np.ndarray:
+    """CorentinJ's mel frontend: LINEAR-power 40-band mel (no log), 25 ms
+    window / 10 ms hop @ 16 kHz.  Returns ``[n_mels, T]`` for
+    `SpeakerEncoder.__call__` (host-side numpy; the encoder itself is the
+    device work)."""
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    if wav.size < n_fft:
+        wav = np.pad(wav, (0, n_fft - wav.size))
+    n_frames = 1 + (wav.size - n_fft) // hop_length
+    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    frames = wav[idx] * np.hanning(n_fft)[None, :].astype(np.float32)
+    mag2 = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # [T, F] power
+    from voicesplit_tpu.dsp.mel import mel_filterbank
+
+    fb = mel_filterbank(sample_rate, n_fft, n_mels)  # [n_mels, F]
+    return (mag2 @ fb.T).T.astype(np.float32)  # [n_mels, T]
 
 
 def spectral_dvector(

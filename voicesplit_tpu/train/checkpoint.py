@@ -168,6 +168,78 @@ def restore_train_state(
     return state, data_state
 
 
+def bilstm_to_streaming_sd(model_sd: Dict[str, Any], lstm_dim: int) -> Dict[str, Any]:
+    """BiLSTM model state-dict → streaming (UniLSTM) one.
+
+    The deployable streaming/causal model (BASELINE config 5) replaces the
+    BiLSTM with a forward-only LSTM, so its ``lstm`` has only ``fwd_*``
+    params and ``fc1`` reads ``[H]`` instead of ``[2H]`` features.  Seeding
+    from a trained offline BiLSTM (the standard distillation shortcut):
+
+    - ``lstm.fwd_*`` copied verbatim;
+    - ``fc1.kernel[:H] + fc1.kernel[H:]`` — the BiLSTM head computes
+      ``h_f @ W_f + h_b @ W_b``; collapsing to ``h_f @ (W_f + W_b)`` is
+      exact in the limit ``h_b ≈ h_f`` and preserves the output scale
+      (unlike taking ``W_f`` alone, which halves the head's input drive);
+    - everything else (convs, fc2, BN) copied verbatim.
+    """
+    out = {k: v for k, v in model_sd.items() if k not in ("lstm", "fc1")}
+    lstm = model_sd["lstm"]
+    out["lstm"] = {
+        "fwd_w_ih": lstm["fwd_w_ih"],
+        "fwd_w_hh": lstm["fwd_w_hh"],
+        "fwd_b": lstm["fwd_b"],
+    }
+    k = np.asarray(model_sd["fc1"]["kernel"])
+    if k.shape[0] != 2 * lstm_dim:
+        raise ValueError(
+            f"fc1 kernel rows {k.shape[0]} != 2*lstm_dim {2 * lstm_dim}: "
+            "not a BiLSTM checkpoint"
+        )
+    out["fc1"] = {
+        "kernel": k[:lstm_dim] + k[lstm_dim:],
+        "bias": np.asarray(model_sd["fc1"]["bias"]),
+    }
+    return out
+
+
+def convert_bilstm_checkpoint_to_streaming(
+    ckpt_path: str,
+    out_dir: str,
+    causal: Optional[bool] = None,
+) -> str:
+    """Offline-BiLSTM checkpoint → a streaming-model checkpoint ready for
+    causal fine-tuning (`Trainer(..., streaming=True)`) or serving.
+
+    `causal` overrides ``config.model.causal`` in the emitted checkpoint
+    (default True: the zero-lookahead deployment geometry).  The step
+    resets to 0 (it is a warm START, not a resume) and the optimizer
+    state is fresh.  Returns the written path.
+    """
+    import jax
+
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.train.state import create_train_state, make_optimizer
+
+    payload = load_checkpoint(ckpt_path)
+    config = load_config_from_str(payload["config_str"])
+    config.model.causal = True if causal is None else causal
+    model = make_masknet(config, streaming=True)
+    tx = make_optimizer(config)
+    F = config.audio.active.num_freq
+    template = create_train_state(config, model, jax.random.PRNGKey(0), (1, 16, F), tx)
+    model_sd = bilstm_to_streaming_sd(payload["model"], config.model.lstm_dim)
+    params = flax.serialization.from_state_dict(template.params, model_sd)
+    batch_stats = flax.serialization.from_state_dict(
+        template.batch_stats, payload["batch_stats"]
+    )
+    state = template.replace(
+        step=np.int32(0), params=params, batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    return save_checkpoint(out_dir, state, config)
+
+
 def partial_restore(init_params, loaded, reinit_layers: Optional[List[str]] = None):
     """Name+shape-filtered merge of `loaded` into `init_params`."""
     reinit_layers = reinit_layers or []

@@ -33,7 +33,12 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
         raise ValueError(
             f"unsupported optimizer {tc.optimizer!r} (the reference supports adam only)"
         )
-    tx = optax.adam(tc.learning_rate)
+    lr = tc.learning_rate
+    if tc.lr_decay_steps:
+        lr = optax.cosine_decay_schedule(
+            tc.learning_rate, tc.lr_decay_steps, alpha=tc.lr_decay_alpha
+        )
+    tx = optax.adam(lr)
     if tc.grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), tx)
     return tx

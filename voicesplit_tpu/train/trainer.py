@@ -62,11 +62,18 @@ class Trainer:
         eval_loader: Optional[BatchIterator] = None,
         enable_tb: bool = True,
         prefetch_depth: int = 2,
+        debug_nans: bool = False,
+        streaming: Optional[bool] = None,
     ):
         self.config = config
         self.log_dir = log_dir or config.train_config.logs_path
         self.ap: AudioProcessor = make_audio_processor(config)
-        self.model = make_masknet(config)
+        # streaming=None follows the deployment geometry: a causal conv
+        # stack pairs with the forward-only LSTM (the zero-lookahead
+        # model, BASELINE config 5).  Pass streaming=False explicitly to
+        # train causal convs under a BiLSTM head.
+        self.streaming = config.model.causal if streaming is None else streaming
+        self.model = make_masknet(config, streaming=self.streaming)
         if mesh is None:
             import math
 
@@ -147,7 +154,18 @@ class Trainer:
                 print(f" > Resumed checkpoint step {int(payload['step'])}")
 
         self.state: TrainState = shard_train_state(state, self.mesh, self.model_parallel)
-        self.train_step = make_train_step(config, self.model, self.ap, tx)
+        # NaN-triage mode: keep the pre-step state alive (no donation) and
+        # check the guard every step so the failing (state, batch) pair can
+        # be re-run unjitted under jax_debug_nans to NAME the first
+        # NaN-producing op (SURVEY §5's jax_debug_nans row).
+        self.debug_nans = debug_nans
+        self.train_step = make_train_step(
+            config, self.model, self.ap, tx, donate=not debug_nans
+        )
+        if debug_nans:
+            from voicesplit_tpu.train.steps import _train_step_body
+
+            self._unjitted_step = _train_step_body(config, self.model, self.ap, tx)
         self.eval_step = make_eval_step(config, self.model, self.ap)
         self.logger = MetricsLogger(
             self.log_dir, self.ap.sample_rate, enable_tb=enable_tb,
@@ -173,7 +191,9 @@ class Trainer:
             # second signal: the operator means it — escalate past the
             # graceful path (default KeyboardInterrupt semantics)
             raise KeyboardInterrupt
-        print(f" > Caught signal {signum}: checkpointing at next step boundary")
+        # os.write is async-signal-safe; print() can die on the stdout
+        # BufferedWriter lock if the signal lands mid-write (ADVICE r1)
+        os.write(2, f" > Caught signal {signum}: checkpointing at next step boundary\n".encode())
         self.request_preemption()
 
     def _install_signal_handlers(self):
@@ -206,6 +226,34 @@ class Trainer:
 
     def _put(self, batch: Dict[str, np.ndarray]):
         return put_batch(self.mesh, batch)
+
+    def _locate_nan(self, state: TrainState, batch) -> str:
+        """Re-run the failing step unjitted with `jax_debug_nans` and
+        return a report naming the first NaN-producing op.
+
+        `state` is the PRE-step state (kept alive because debug mode
+        builds the step without buffer donation); eager mode checks every
+        primitive's output, so the raised FloatingPointError's traceback
+        points into the op that first produced a non-finite value.
+        """
+        import traceback
+
+        print(" > debug_nans: re-running the failing step unjitted...")
+        jax.config.update("jax_debug_nans", True)
+        try:
+            with jax.disable_jit():
+                self._unjitted_step(state, batch)
+        except FloatingPointError as e:
+            tb = traceback.format_exc()
+            print(tb)
+            return f"{e}\n{tb}"
+        finally:
+            jax.config.update("jax_debug_nans", False)
+        return (
+            "no NaN reproduced unjitted (fp32 eager vs compiled bf16 — "
+            "explosion is dtype/fusion-dependent; loss exceeded the guard "
+            "threshold without a non-finite intermediate)"
+        )
 
     def _host_copy(self, tree):
         """Host-local (numpy) copy of globally-sharded state.
@@ -286,16 +334,28 @@ class Trainer:
                         batch = next(self._prefetch)
                     else:
                         batch = self._put(next(self.train_loader))
+                    prev_state = self.state if self.debug_nans else None
                     self.state, metrics = self.train_step(self.state, batch)
                     step += 1
                     steps_in_window += 1
 
-                    if step % c.summary_interval == 0:
+                    # Guard + multi-host agreement ride their own cadence
+                    # (check_interval; every step in debug_nans mode) so a
+                    # large summary_interval cannot delay explosion
+                    # detection or outlast the preemption grace window.
+                    check_every = 1 if self.debug_nans else max(1, c.check_interval)
+                    do_summary = step % c.summary_interval == 0
+                    do_check = do_summary or step % check_every == 0
+                    if do_check:
                         m = jax.device_get(metrics)
                         loss = float(m["loss"])
                         if bool(m["loss_exploded"]):
                             print(f"Loss exploded to {loss:.2f} at step {step}!")
-                            return {"loss": loss, "exploded": True, "step": step}
+                            out = {"loss": loss, "exploded": True, "step": step}
+                            if self.debug_nans:
+                                out["nan_report"] = self._locate_nan(prev_state, batch)
+                            return out
+                    if do_summary:
                         dt = time.time() - t_window
                         tput = self._audio_seconds_per_batch * steps_in_window / max(dt, 1e-9)
                         t_window, steps_in_window = time.time(), 0
@@ -309,14 +369,16 @@ class Trainer:
 
                     # Preemption: single-host checks the local flag every
                     # step (free); multi-host agrees via allgather only at
-                    # summary boundaries so the sync never paces the step.
+                    # check boundaries so the sync never paces the step.
                     if (not multi_host and self._preempt_requested) or (
-                        multi_host
-                        and step % c.summary_interval == 0
-                        and self._preempt_agreed()
+                        multi_host and do_check and self._preempt_agreed()
                     ):
                         self._checkpoint(False, step, compute_sdr_in_eval, max_eval_items)
                         print(f" > Preempted: checkpointed at step {step}, exiting")
+                        # clear the flag so a later fit() on this Trainer
+                        # trains instead of instantly re-preempting, and a
+                        # fresh SIGTERM gets the graceful path (ADVICE r1)
+                        self._preempt_requested = False
                         last.update({"step": step, "preempted": True})
                         return last
 

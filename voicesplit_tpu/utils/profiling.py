@@ -20,6 +20,27 @@ import numpy as np
 V5E_BF16_FLOPS = 197e12
 V5E_HBM_BYTES_PER_S = 819e9
 
+# NVIDIA A100 published dense peaks (SXM, no sparsity): 312 bf16 TFLOP/s,
+# 156 TF32 TFLOP/s, 19.5 fp32 TFLOP/s.  The reference implementation is
+# eager fp32 torch (torch==1.0.1-era code, no autocast anywhere —
+# reference `train.py:87-111`); on a modern torch/A100 its convs+LSTM run
+# TF32 by default, so TF32 peak is the relevant ceiling for "the
+# reference on an A100".
+A100_BF16_FLOPS = 312e12
+A100_TF32_FLOPS = 156e12
+
+# Hardware-utilization fraction assumed for the reference's eager torch
+# step on an A100.  Basis (documented in scripts/a100_anchor.py, measured
+# each run): eager torch running this exact model on this host's CPU
+# achieves ~that fraction of the CPU's dense-fp32 peak; the extrapolation
+# assumes torch sustains the same fraction of the A100's TF32 peak —
+# generous to the A100, since eager per-op dispatch hides less latency
+# on an accelerator than on a CPU.  scripts/a100_anchor.py recomputes
+# this from a live measurement; this constant is the recorded value
+# (docs/a100_anchor.json: 0.1503 on the 2-core dev host) used by
+# bench.py so the bench stays fast.
+A100_CLASS_UTILIZATION = 0.15
+
 
 @contextlib.contextmanager
 def trace(log_dir: str):
@@ -122,3 +143,24 @@ def masknet_train_step_cost(
     act_els += B * T * (2 * lstm_dim + fc1 + 8 * lstm_dim)
     hbm = 3 * act_els * bytes_per_el
     return StepCost(flops=flops, hbm_bytes=hbm)
+
+
+def a100_class_audio_throughput(
+    batch: int,
+    audio_len_s: float,
+    cost: StepCost,
+    peak_flops: float = A100_TF32_FLOPS,
+    utilization: float = A100_CLASS_UTILIZATION,
+) -> float:
+    """Audio-seconds/s the REFERENCE implementation would sustain on one
+    A100 — the anchor for the north-star "≥3× A100-class" claim.
+
+    = audio-seconds per step / (step FLOPs / (peak × utilization)).
+    `utilization` defaults to the measured-CPU-extrapolated eager-torch
+    fraction (`A100_CLASS_UTILIZATION`; rerun scripts/a100_anchor.py to
+    re-derive it on any host).  Using bf16 peak + our own measured MFU
+    instead answers a different question — "an XLA-quality stack on
+    A100" — which scripts/a100_anchor.py also prints for honesty.
+    """
+    step_s_on_a100 = cost.flops / (peak_flops * utilization)
+    return batch * audio_len_s / step_s_on_a100
