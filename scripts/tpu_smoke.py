@@ -1,0 +1,297 @@
+"""TPU smoke gate — pins every env-gated accelerator path on the real chip.
+
+The CI suite runs green on the virtual CPU mesh (`tests/conftest.py`
+forces `jax_platforms=cpu`), so the paths that only light up on TPU —
+the fused Pallas LSTM (`ops/lstm_pallas.py`), the folded-frequency conv
+stack (`ops/conv_fold.py`), the streaming chunk step's one-compile
+invariant, and the full jitted train step — were previously validated by
+hand-run ablations (`docs/KERNELS.md`).  This script is the per-round
+gate: run it ON THE CHIP; exit 0 means every one of those paths still
+agrees with its portable reference and trains finitely.
+
+Checks (each prints PASS/FAIL; any FAIL → exit 1):
+
+1. backend       — we are actually on a TPU backend and the Pallas LSTM
+                   path reports available (i.e. the default gates are on).
+2. pallas_lstm   — fused kernel fwd + full bwd vs `lstm_scan` at model
+                   scale (H=400, the flagship hidden size) on-chip.
+3. folded_conv   — full MaskNet forward + input/param grads, folded
+                   layout vs plain XLA `nn.Conv` layout (bit-identical
+                   params, atol covers bf16→fp32 reassociation).
+4. streaming     — 3 chunks through `StreamingSeparator` recompile
+                   nothing after chunk 1 (`_cache_size() == 1`) and
+                   produce finite audio.
+5. train_step    — one full jitted train step (STFT→mask→iSTFT→SI-SNR→
+                   Adam) on synthetic speech-shaped noise: finite loss,
+                   grad_norm > 0; prints the steady-state step latency.
+
+Usage:  python scripts/tpu_smoke.py            (on the TPU host)
+        python scripts/tpu_smoke.py --json out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+RESULTS: list[dict] = []
+
+
+def check(name: str):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            try:
+                detail = fn() or {}
+                ok = True
+            except Exception as e:  # noqa: BLE001 — the gate must report, not die
+                detail = {"error": f"{type(e).__name__}: {e}"}
+                ok = False
+            rec = {"check": name, "ok": ok, "wall_s": round(time.time() - t0, 2), **detail}
+            RESULTS.append(rec)
+            print(f"[{'PASS' if ok else 'FAIL'}] {name}  {detail}", flush=True)
+            return ok
+
+        return run
+
+    return deco
+
+
+@check("backend")
+def check_backend():
+    import jax
+
+    backend = jax.default_backend()
+    from voicesplit_tpu.ops.conv_fold import folded_conv_enabled
+    from voicesplit_tpu.ops.lstm_pallas import pallas_lstm_available
+
+    if backend == "cpu":
+        raise RuntimeError("running on CPU — this gate must run on the TPU host")
+    if not pallas_lstm_available():
+        raise RuntimeError("pallas LSTM path reports unavailable on this backend")
+    if not folded_conv_enabled():
+        raise RuntimeError("folded conv path is disabled (VOICESPLIT_FOLDED_CONV=0?)")
+    return {"backend": backend, "devices": len(jax.devices())}
+
+
+@check("pallas_lstm")
+def check_pallas_lstm():
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.models.lstm import lstm_scan
+    from voicesplit_tpu.ops.lstm_pallas import fused_lstm_scan
+
+    B, T, H = 8, 64, 400  # flagship hidden size
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32))
+    whh = jnp.asarray((rng.standard_normal((H, 4 * H)) * 0.05).astype(np.float32))
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+
+    out_ref, (hf_ref, cf_ref) = jax.jit(lstm_scan)(xp, whh, h0, c0)
+    out, (hf, cf) = jax.jit(fused_lstm_scan)(xp, whh, h0, c0)
+    fwd_err = float(jnp.max(jnp.abs(out - out_ref)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_ref), atol=2e-5)
+
+    def loss(fn, xp, whh, h0, c0):
+        out, (hf, cf) = fn(xp, whh, h0, c0)
+        return jnp.sum(jnp.sin(out)) + jnp.sum(hf * hf) + jnp.sum(jnp.cos(cf))
+
+    g_ref = jax.jit(jax.grad(lambda *a: loss(lstm_scan, *a), argnums=(0, 1, 2, 3)))(
+        xp, whh, h0, c0
+    )
+    g = jax.jit(jax.grad(lambda *a: loss(fused_lstm_scan, *a), argnums=(0, 1, 2, 3)))(
+        xp, whh, h0, c0
+    )
+    bwd_err = 0.0
+    for a, b, name in zip(g, g_ref, ["dxp", "dwhh", "dh0", "dc0"]):
+        bwd_err = max(bwd_err, float(jnp.max(jnp.abs(a - b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3, err_msg=name
+        )
+    return {"fwd_max_abs_err": fwd_err, "bwd_max_abs_err": bwd_err}
+
+
+@check("folded_conv")
+def check_folded_conv():
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.config import Config
+
+    def masknet_loss_and_grads(folded: bool):
+        os.environ["VOICESPLIT_FOLDED_CONV"] = "1" if folded else "0"
+        # module classes read the env at setup(); build fresh each time
+        from voicesplit_tpu.models.masknet import make_masknet
+
+        c = Config()
+        c.train_config.compute_dtype = "float32"  # tight comparison
+        model = make_masknet(c)
+        rng = np.random.default_rng(7)
+        spec = jnp.asarray(rng.random((2, 31, 601)), jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), spec, emb)
+
+        def loss_fn(params, spec):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                spec, emb, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(out * out)
+
+        out = model.apply(variables, spec, emb, train=False)
+        l, (gp, gx) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            variables["params"], spec
+        )
+        return out, l, gp, gx
+
+    saved = os.environ.get("VOICESPLIT_FOLDED_CONV")
+    try:
+        out_f, l_f, gp_f, gx_f = masknet_loss_and_grads(True)
+        out_x, l_x, gp_x, gx_x = masknet_loss_and_grads(False)
+    finally:
+        if saved is None:
+            os.environ.pop("VOICESPLIT_FOLDED_CONV", None)
+        else:
+            os.environ["VOICESPLIT_FOLDED_CONV"] = saved
+
+    fwd_err = float(jnp.max(jnp.abs(out_f - out_x)))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-4)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x), atol=2e-4)
+    errs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), gp_f, gp_x
+    )
+    gmax = max(jax.tree.leaves(errs))
+    if gmax > 5e-3:
+        raise AssertionError(f"param-grad mismatch {gmax}: {errs}")
+    return {"fwd_max_abs_err": fwd_err, "param_grad_max_abs_err": gmax}
+
+
+@check("streaming")
+def check_streaming():
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.config import Config
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.streaming import StreamingSeparator
+
+    c = Config()
+    c.model_name = "voicesplit"
+    model = make_masknet(c, streaming=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 601)), jnp.zeros((1, 256))
+    )
+    sep = StreamingSeparator(c, variables, chunk_frames=40)
+    st = sep.init_state(1)
+    emb = np.zeros((1, 256), np.float32)
+    rng = np.random.default_rng(3)
+    t_chunks = []
+    for i in range(4):
+        chunk = rng.standard_normal((1, sep.chunk_samples)).astype(np.float32) * 0.05
+        t0 = time.time()
+        st, out = sep.process_chunk(st, chunk, emb)
+        jax.block_until_ready(out)
+        t_chunks.append(time.time() - t0)
+        if not np.isfinite(np.asarray(out)).all():
+            raise AssertionError(f"non-finite streaming output on chunk {i}")
+    if sep._chunk_step._cache_size() != 1:
+        raise AssertionError(
+            f"chunk step recompiled: cache size {sep._chunk_step._cache_size()}"
+        )
+    chunk_ms = 1e3 * float(np.median(t_chunks[1:]))
+    chunk_audio_ms = 1e3 * sep.chunk_samples / 16000
+    return {
+        "steady_chunk_ms": round(chunk_ms, 2),
+        "chunk_audio_ms": round(chunk_audio_ms, 1),
+        "rtf": round(chunk_ms / chunk_audio_ms, 4),
+    }
+
+
+@check("train_step")
+def check_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.config import Config
+    from voicesplit_tpu.dsp.processor import AudioProcessor
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    c = Config()
+    c.train_config.batch_size = 8
+    c.train_config.learning_rate = 1e-3
+    ap = AudioProcessor(c.audio)
+    model = make_masknet(c)
+    tx = make_optimizer(c)
+    B = c.train_config.batch_size
+    L = int(ap.sample_rate * c.audio.audio_len)
+    T = ap.frames_for(L)
+    state = create_train_state(c, model, jax.random.PRNGKey(0), (B, T, ap.num_freq), tx)
+    step = make_train_step(c, model, ap, tx, donate=False)
+
+    rng = np.random.default_rng(11)
+    # speech-shaped noise: low-passed white noise, distinct target/interf
+    def speech_like(n):
+        x = rng.standard_normal((n, L)).astype(np.float32)
+        k = np.ones(9, np.float32) / 9.0
+        return np.stack([np.convolve(r, k, mode="same") for r in x])
+
+    tgt, itf = speech_like(B), speech_like(B)
+    batch = {
+        "mixed_wav": jnp.asarray(tgt + itf),
+        "target_wav": jnp.asarray(tgt),
+        "emb": jnp.asarray(rng.standard_normal((B, 256)).astype(np.float32)),
+        "wav_len": jnp.full((B,), L, jnp.int32),
+    }
+    state, metrics = step(state, batch)  # compile
+    jax.block_until_ready(metrics)
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    m = jax.device_get(metrics)
+    step_ms = 1e3 * (time.time() - t0)
+    loss, gn = float(m["loss"]), float(m["grad_norm"])
+    if not np.isfinite(loss):
+        raise AssertionError(f"non-finite loss {loss}")
+    if not (gn > 0):
+        raise AssertionError(f"grad_norm not positive: {gn}")
+    return {
+        "loss": round(loss, 4),
+        "grad_norm": round(gn, 4),
+        "steady_step_ms": round(step_ms, 1),
+        "audio_s_per_s": round(B * c.audio.audio_len / (step_ms / 1e3), 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--json", default=None, help="also write results to this path")
+    args = p.parse_args()
+
+    checks = [check_backend, check_pallas_lstm, check_folded_conv,
+              check_streaming, check_train_step]
+    ok = all([fn() for fn in checks])
+    summary = {"ok": ok, "checks": RESULTS}
+    print(json.dumps({"tpu_smoke_ok": ok}), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=2)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
