@@ -130,7 +130,13 @@ def main():
         print(f"open-set split: train {len(train_speakers)} / "
               f"held-out {eval_ids}", flush=True)
     else:
-        train_speakers = eval_speakers = speakers
+        train_speakers = speakers
+        eval_speakers = mixable  # eval always mixes strictly (full 3 s)
+    # the closed-set VALIDATION stream mixes strictly (full 3 s overlap,
+    # no zero-bed), so it must draw only from ≥3 s speakers even when
+    # --allow_short widens the TRAIN pool — otherwise a short-speaker
+    # draw exhausts the mixer's retries
+    val_speakers = {s: mixable[s] for s in train_speakers if s in mixable}
 
     c = Config()  # flagship: voicesplit + si_snr
     c.train_config.batch_size = args.batch_size
@@ -235,7 +241,7 @@ def main():
     # VCTK dev set (`test_all_checkpoints.py`) — held-out speakers are
     # never used to pick the step we report
     val_it = OnlineMixIterator(
-        train_speakers, batch_size=B, sample_rate=ap.sample_rate,
+        val_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=51423, items_per_epoch=256,
         emb_mode=emb_mode_iter, embeddings=embeddings,
     )

@@ -32,11 +32,13 @@ def main(argv=None):
     parser.add_argument("--encoder_checkpoint", type=str, default=None,
                         help="torch GE2E embedder.pt state_dict")
     parser.add_argument("--encoder", type=str, default="ge2e",
-                        choices=("ge2e", "spectral", "corentinj"),
+                        choices=("ge2e", "spectral", "corentinj", "speech2phone"),
                         help="'spectral' = training-free signal-derived "
                         "d-vectors; 'corentinj' = the Real-Time-Voice-Cloning "
                         "encoder topology (pass its pretrained.pt as "
-                        "--encoder_checkpoint)")
+                        "--encoder_checkpoint); 'speech2phone' = the tflearn "
+                        "MFCC autoencoder's 80-d CReLU embedding (pass an "
+                        ".npz/.pt weight export as --encoder_checkpoint)")
     parser.add_argument("--glob_wav", type=str, default="*-ref_emb.wav")
     parser.add_argument("--out_suffix", type=str, default="-emb.npy")
     args = parser.parse_args(argv)
@@ -67,6 +69,42 @@ def main(argv=None):
             np.save(out_path, emb)
             n_ok += 1
         print(f"wrote {n_ok} spectral embeddings in {args.data_dir}")
+        return
+
+    if args.encoder == "speech2phone":
+        from voicesplit_tpu.models.speech2phone import (
+            Speech2PhoneEncoder,
+            load_speech2phone_weights,
+            speech2phone_embedding,
+        )
+
+        encoder = Speech2PhoneEncoder()
+        if args.encoder_checkpoint:
+            variables = load_speech2phone_weights(args.encoder_checkpoint)
+        else:
+            print(" > No encoder checkpoint given — using random init (smoke mode)")
+            variables = encoder.init(
+                jax.random.PRNGKey(0), np.zeros((1, 13, 216), np.float32)
+            )
+        # fixed [W, 13, 216] window batches would recompile per window
+        # count; the window count varies little (duration/1s), so jit on
+        # the encoder and let the cache hold the few shapes that occur
+        apply_fn = jax.jit(lambda m: encoder.apply(variables, m))
+        files = sorted(glob(os.path.join(args.data_dir, args.glob_wav)))
+        n_ok = n_short = 0
+        for path in files:
+            out_path = path.replace(args.glob_wav.replace("*", ""), "") + args.out_suffix
+            wav = ap.load_wav(path)
+            emb = speech2phone_embedding(
+                encoder, variables, wav, ap.sample_rate, apply_fn=apply_fn
+            )
+            if emb.size == 1:
+                n_short += 1
+            else:
+                n_ok += 1
+            np.save(out_path, emb)
+        print(f"wrote {n_ok} speech2phone embeddings ({n_short} sentinels) "
+              f"in {args.data_dir}")
         return
 
     if args.encoder == "corentinj":
