@@ -45,6 +45,32 @@ def build_corpus(out_dir: str) -> str:
     return corpus
 
 
+def add_speed_pseudo_speakers(corpus, train_ids, sample_rate, factors=(0.9, 1.1)):
+    """Write speed-perturbed copies of each train speaker as NEW speaker
+    dirs (``<spk>~p90``) — resampled playback shifts pitch and formants,
+    so each copy is a distinct enrollment identity.  The standard recipe
+    for multiplying speaker diversity on tiny corpora (train-side only:
+    held-out speakers keep zero exposure, direct or perturbed... their
+    dirs are simply never passed in via ``train_ids``)."""
+    from voicesplit_tpu.dsp.audio_io import load_wav, resample, save_wav
+
+    for spk in sorted(train_ids):
+        src_dir = os.path.join(corpus, spk)
+        for f in factors:
+            dst_dir = os.path.join(corpus, f"{spk}~p{int(round(f * 100)):03d}")
+            os.makedirs(dst_dir, exist_ok=True)
+            for w in sorted(os.listdir(src_dir)):
+                if not w.endswith(".wav"):
+                    continue
+                dst = os.path.join(dst_dir, w)
+                if os.path.exists(dst):
+                    continue
+                wav = load_wav(os.path.join(src_dir, w), sample_rate)
+                # playback-speed change: resample to sr/f, label as sr
+                save_wav(resample(wav, sample_rate, int(round(sample_rate / f))),
+                         dst, sample_rate)
+
+
 def main():
     ap_args = argparse.ArgumentParser()
     ap_args.add_argument("--steps", type=int, default=300)
@@ -66,6 +92,9 @@ def main():
                          help="hold out the last N speakers entirely for eval "
                               "(open-set: unseen speakers; requires --emb "
                               "spectral|ge2e and N >= 2)")
+    ap_args.add_argument("--holdout_ids", type=str, default=None,
+                         help="comma-separated speaker ids to hold out instead "
+                         "of the last N — rotating leave-k-out folds")
     ap_args.add_argument("--causal", action="store_true",
                          help="train the deployable zero-lookahead model: "
                          "causal conv stack + unidirectional LSTM")
@@ -73,6 +102,10 @@ def main():
                          help="training-time augmentation: random crop offsets, "
                          "±5 dB mixing-SNR jitter, [−6,0] dB gain jitter, "
                          "0.9/1.0/1.1 speed perturb (eval stays unaugmented)")
+    ap_args.add_argument("--speaker_augment", action="store_true",
+                         help="triple the TRAIN speaker pool with 0.9x/1.1x "
+                         "playback-speed pseudo-speakers (distinct enrollment "
+                         "identities; held-out speakers stay unexposed)")
     ap_args.add_argument("--allow_short", action="store_true",
                          help="include speakers with <3 s utterances by placing "
                          "short sources in a zero bed (partial overlap); adds 5 "
@@ -120,11 +153,20 @@ def main():
     print(f"corpus: {len(speakers)} speakers ({len(mixable)} ≥3 s after trim)",
           flush=True)
 
+    if args.holdout_ids and not args.holdout:
+        args.holdout = len(args.holdout_ids.split(","))
     if args.holdout:
         mix_ids = sorted(mixable)
         if args.holdout < 2 or args.holdout > len(mix_ids) - 2:
             raise SystemExit(f"--holdout must be in [2, {len(mix_ids) - 2}]")
-        eval_ids = mix_ids[-args.holdout:]
+        if args.holdout_ids:
+            eval_ids = args.holdout_ids.split(",")
+            bad = [s for s in eval_ids if s not in mixable]
+            if bad:
+                raise SystemExit(f"--holdout_ids not in mixable set: {bad} "
+                                 f"(mixable: {mix_ids})")
+        else:
+            eval_ids = mix_ids[-args.holdout:]
         train_speakers = {s: v for s, v in speakers.items() if s not in eval_ids}
         eval_speakers = {s: mixable[s] for s in eval_ids}
         print(f"open-set split: train {len(train_speakers)} / "
@@ -151,6 +193,19 @@ def main():
     print(f"lr={c.train_config.learning_rate}"
           + ("  (NOTE: 1e-2 is known to plateau here; use --lr 1e-3)"
              if c.train_config.learning_rate >= 1e-2 else ""), flush=True)
+
+    if args.speaker_augment:
+        base_ids = sorted(s for s in train_speakers if "~p" not in s)
+        add_speed_pseudo_speakers(corpus, base_ids, ap.sample_rate)
+        rediscovered = discover_utterances(
+            corpus, min_duration=(1.0 if args.allow_short else 3.0)
+        )
+        train_speakers = {
+            s: v for s, v in rediscovered.items()
+            if s.split("~")[0] in set(base_ids)
+        }
+        print(f"speaker augment: train pool {len(base_ids)} → "
+              f"{len(train_speakers)} identities", flush=True)
 
     embeddings = None
     emb_mode_iter = args.emb
@@ -301,6 +356,7 @@ def main():
         "config": "voicesplit + si_snr (flagship)"
         + (" causal+uniLSTM" if args.causal else "")
         + (" +augment" if args.augment else "")
+        + (" +speaker_augment" if args.speaker_augment else "")
         + (" +allow_short" if args.allow_short else "")
         + (" warm_start" if args.warm_start else ""),
         "emb_mode": args.emb,
