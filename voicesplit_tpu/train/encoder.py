@@ -149,10 +149,27 @@ def train_ge2e(
     return encoder, params, opt_state, losses
 
 
+def _embed_apply_fn(encoder):
+    """ONE compiled window-batch program per encoder topology.
+
+    Params are a traced ARGUMENT: a fresh ``jax.jit(lambda ...)`` per
+    utterance looks free but compiles every call (jit caches on function
+    identity) — measured ~10 s/utterance on the tunneled dev chip, which
+    turned a 126-utterance enrollment into 15+ silent minutes."""
+    import functools
+
+    import jax
+
+    if not hasattr(_embed_apply_fn, "_cache"):
+        _embed_apply_fn._cache = functools.lru_cache(maxsize=8)(
+            lambda enc: jax.jit(lambda p, m: enc.apply({"params": p}, m))
+        )
+    return _embed_apply_fn._cache(encoder)
+
+
 def embed_utterance(encoder, params, ap, wav, batch_windows: int = 32):
     """Mean-pooled d-vector of one waveform (the encoder's own window/
     stride semantics; fixed-shape compiled batches like the CLI)."""
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -164,7 +181,8 @@ def embed_utterance(encoder, params, ap, wav, batch_windows: int = 32):
         T = W
     n_win = (T - W) // S + 1
     wins = np.stack([mel[:, s * S : s * S + W] for s in range(n_win)])
-    apply_win = jax.jit(lambda m: encoder.apply({"params": params["enc"]}, m))
+    fn = _embed_apply_fn(encoder)
+    apply_win = lambda m: fn(params["enc"], m)  # noqa: E731
     parts = []
     for i in range(0, n_win, batch_windows):
         chunk = wins[i : i + batch_windows]
