@@ -144,3 +144,30 @@ def test_spectral_dvector_geometry():
     # gain invariance of the envelope features
     g = spectral_dvector(10.0 * shaped_noise(500, 1), SR)
     assert float(a1 @ g) > 0.99
+
+
+def test_same_base_pseudo_speakers_never_mixed(tmp_path):
+    """"<spk>~p090"-style speed-perturbed pseudo-speakers must never be
+    mixed against their own base voice (near-unseparable target)."""
+    rng = np.random.default_rng(2)
+    root = tmp_path / "sa"
+    for name, f0 in (("a", 150), ("a~p090", 135), ("a~p110", 165), ("b", 240)):
+        d = root / name
+        d.mkdir(parents=True)
+        for k in range(2):
+            t = np.arange(SR * 4) / SR
+            wav = (0.2 * np.sin(2 * np.pi * f0 * t + k)).astype(np.float32)
+            save_wav_float(wav, str(d / f"utt{k}.wav"), SR)
+    spk = discover_utterances(str(root))
+    assert len(spk) == 4
+    it = OnlineMixIterator(spk, 2, audio_len=2.0, seed=11, items_per_epoch=8)
+    # with 3 same-base identities of 4 total, random pairs hit same-base
+    # half the time; the redraw must keep every mixture cross-base, and
+    # every batch must still assemble (no retry exhaustion)
+    for _ in range(6):
+        batch = next(it)
+        assert batch["mixed_wav"].shape == (2, 2 * SR)
+    for i in range(24):
+        it._make_item(0, i)
+        tgt, intf = it.last_pair
+        assert tgt.split("~")[0] != intf.split("~")[0], (tgt, intf)

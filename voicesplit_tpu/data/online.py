@@ -231,6 +231,11 @@ class OnlineMixIterator:
             tgt, intf = rng.choice(len(self.speaker_ids), size=2, replace=False)
             tgt_spk = self.speaker_ids[int(tgt)]
             intf_spk = self.speaker_ids[int(intf)]
+            # "<spk>~p090"-style speed-perturbed pseudo-speakers share a
+            # base voice with "<spk>": mixing a speaker against their own
+            # perturbed copy is a near-unseparable target — redraw
+            if tgt_spk.split("~")[0] == intf_spk.split("~")[0]:
+                continue
             tgt_utts = self.speakers[tgt_spk]
             clean_path, emb_path = (
                 tgt_utts[int(i)] for i in rng.choice(len(tgt_utts), 2, replace=len(tgt_utts) < 2)
@@ -254,6 +259,7 @@ class OnlineMixIterator:
             )
             if sample is None:
                 continue  # utterance too short — redraw deterministically
+            self.last_pair = (tgt_spk, intf_spk)  # debug/test visibility
             L = self.n_samples
             if self.emb_mode == "spectral" and tgt_spk not in self.embeddings:
                 emb = self._spectral_embedding(emb_path)
