@@ -280,3 +280,49 @@ def test_multi_step_dispatch_matches_sequential_steps():
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-2 * scale,
             err_msg=name,
         )
+
+
+def test_async_checkpointer_matches_sync(tmp_path, setup):
+    """AsyncCheckpointer writes byte-identical payloads to save_checkpoint,
+    one write in flight at a time, and wait() flushes before exit."""
+    from voicesplit_tpu.train.checkpoint import AsyncCheckpointer
+
+    c, ap, model, state, step_fn = setup
+    batch = _batch(c, ap)
+    state, _ = step_fn(state, batch)
+    data_state = IteratorState(epoch=2, position=5, seed=3)
+
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    p_sync = save_checkpoint(sync_dir, state, c, data_state)
+    w = AsyncCheckpointer()
+    p_async = w.save(async_dir, state, c, data_state)
+    w.wait()
+    with open(p_sync, "rb") as f_a, open(p_async, "rb") as f_b:
+        assert f_a.read() == f_b.read()
+
+    # back-to-back saves serialize (one in flight); keep-pruning applies
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+        w.save(async_dir, state, c, keep=2)
+    w.wait()
+    from voicesplit_tpu.train.checkpoint import list_checkpoints
+
+    assert len(list_checkpoints(async_dir)) == 2
+    # post-wait, the latest checkpoint restores
+    payload = load_checkpoint(latest_checkpoint(async_dir))
+    restore_train_state(payload, state)
+
+
+def test_async_checkpointer_surfaces_write_errors(tmp_path, setup):
+    from voicesplit_tpu.train.checkpoint import AsyncCheckpointer
+
+    c, ap, model, state, step_fn = setup
+    bad_dir = str(tmp_path / "file_not_dir")
+    with open(bad_dir, "w") as f:
+        f.write("x")  # save's makedirs/tmp-write must fail
+    w = AsyncCheckpointer()
+    import pytest as _pytest
+
+    with _pytest.raises((RuntimeError, OSError)):
+        w.save(bad_dir, state, c)
+        w.wait()

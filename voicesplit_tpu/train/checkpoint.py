@@ -58,6 +58,75 @@ def save_checkpoint(
     return path
 
 
+class AsyncCheckpointer:
+    """One-in-flight background checkpoint writer.
+
+    ``jax.device_get`` runs synchronously in `save` — the caller's next
+    train step invalidates donated state buffers, so the host copy must
+    exist before control returns — but msgpack serialization and the
+    disk write (the slow, device-independent part) run in a daemon
+    worker thread.  At most one write is in flight: a new `save` joins
+    the previous one first, and `wait()` must be called before process
+    exit (the trainer does on fit() return and on the preemption path)
+    so a graceful shutdown never drops the final checkpoint.
+    """
+
+    def __init__(self):
+        self._thread: Optional["threading.Thread"] = None
+        self._error: Optional[BaseException] = None
+
+    def save(
+        self,
+        log_dir: str,
+        state: TrainState,
+        config: Config,
+        data_state: Optional[IteratorState] = None,
+        keep: Optional[int] = None,
+    ) -> str:
+        import threading
+
+        self.wait()
+        os.makedirs(log_dir, exist_ok=True)
+        step = int(jax.device_get(state.step))
+        to_sd = flax.serialization.to_state_dict
+        payload = {
+            "model": to_sd(jax.device_get(state.params)),
+            "batch_stats": to_sd(jax.device_get(state.batch_stats)),
+            "optimizer": to_sd(jax.device_get(state.opt_state)),
+            "step": step,
+            "config_str": config.to_json(),
+            "data_state": (data_state or IteratorState()).to_dict(),
+        }
+        path = os.path.join(log_dir, CKPT_PATTERN % step)
+
+        def _write():
+            try:
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(flax.serialization.msgpack_serialize(payload))
+                os.replace(tmp, path)
+                if keep:
+                    for old in list_checkpoints(log_dir)[:-keep]:
+                        os.remove(old)
+            except BaseException as e:  # surfaced on the next save/wait
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        """Join the in-flight write; re-raise any writer error loudly."""
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join()
+        self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from e
+
+
 def list_checkpoints(log_dir: str) -> List[str]:
     """All checkpoints in `log_dir`, sorted by step."""
     hits = glob(os.path.join(log_dir, "checkpoint_*.msgpack"))

@@ -64,6 +64,7 @@ class Trainer:
         prefetch_depth: int = 2,
         debug_nans: bool = False,
         streaming: Optional[bool] = None,
+        async_checkpoint: bool = True,
     ):
         self.config = config
         self.log_dir = log_dir or config.train_config.logs_path
@@ -179,6 +180,9 @@ class Trainer:
         self._prefetch = None  # built lazily at fit() so checkpoint
         # restore above can rewind the loader before readahead starts
         self._preempt_requested = False
+        from voicesplit_tpu.train.checkpoint import AsyncCheckpointer
+
+        self._ckpt_writer = AsyncCheckpointer() if async_checkpoint else None
 
     # ------------------------------------------------------------------
 
@@ -285,7 +289,14 @@ class Trainer:
         )
         host_state = self._host_copy(self.state)  # collective
         if jax.process_index() == 0:
-            path = save_checkpoint(self.log_dir, host_state, self.config, data_state)
+            if self._ckpt_writer is not None:
+                # serialization + disk write overlap the next train steps;
+                # fit() flushes the writer before returning
+                path = self._ckpt_writer.save(
+                    self.log_dir, host_state, self.config, data_state
+                )
+            else:
+                path = save_checkpoint(self.log_dir, host_state, self.config, data_state)
             print(f"Saved checkpoint to: {path}")
             if run_eval:
                 m = validate(
@@ -391,5 +402,9 @@ class Trainer:
             last["step"] = step
             return last
         finally:
+            if self._ckpt_writer is not None:
+                # a graceful exit (preemption included) must not drop an
+                # in-flight checkpoint write
+                self._ckpt_writer.wait()
             for signum, handler in restore_handlers:
                 signal.signal(signum, handler)
