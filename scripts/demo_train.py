@@ -27,21 +27,30 @@ import time
 import numpy as np
 
 DEMO_CLEAN = "/root/reference/datasets/LibriSpeech/audios_demo/clean"
+DEMO_REFERENCE = "/root/reference/datasets/LibriSpeech/audios_demo/reference"
 
 
 def build_corpus(out_dir: str) -> str:
-    """clean/<spk>-<chap>-<utt>[-norm].wav → corpus/<spk>/<file>.wav."""
+    """``{clean,reference}/<spk>-<chap>-<utt>[-norm].wav`` →
+    ``corpus/<spk>/<file>.wav``.
+
+    ``reference/`` holds the demo's ENROLLMENT clips — a second distinct
+    utterance for 10 of the 18 speakers (no new speakers).  Including
+    them doubles those speakers' utterance diversity and, with the
+    mixer's distinct-utterance-group enrollment rule, lets eval
+    condition on a clip that is NOT the utterance being separated."""
     corpus = os.path.join(out_dir, "corpus")
     os.makedirs(corpus, exist_ok=True)
-    for f in sorted(os.listdir(DEMO_CLEAN)):
-        if not f.endswith(".wav"):
-            continue
-        spk = f.split("-")[0]
-        d = os.path.join(corpus, spk)
-        os.makedirs(d, exist_ok=True)
-        dst = os.path.join(d, f)
-        if not os.path.exists(dst):
-            shutil.copyfile(os.path.join(DEMO_CLEAN, f), dst)
+    for src_dir in (DEMO_CLEAN, DEMO_REFERENCE):
+        for f in sorted(os.listdir(src_dir)):
+            if not f.endswith(".wav"):
+                continue
+            spk = f.split("-")[0]
+            d = os.path.join(corpus, spk)
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f)
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(src_dir, f), dst)
     return corpus
 
 

@@ -171,3 +171,32 @@ def test_same_base_pseudo_speakers_never_mixed(tmp_path):
         it._make_item(0, i)
         tgt, intf = it.last_pair
         assert tgt.split("~")[0] != intf.split("~")[0], (tgt, intf)
+
+
+def test_enrollment_from_distinct_recording(tmp_path):
+    """When a speaker has >=2 distinct recordings, the enrollment clip
+    must come from a different one than the separation source (x.wav and
+    x-norm.wav count as the SAME recording)."""
+    root = tmp_path / "groups"
+    rng = np.random.default_rng(0)
+    for spk, files in (("s1", ["a.wav", "a-norm.wav", "b.wav"]),
+                       ("s2", ["c.wav", "c-norm.wav"])):
+        d = root / spk
+        d.mkdir(parents=True)
+        for k, name in enumerate(files):
+            t = np.arange(SR * 4) / SR
+            f0 = 150 if spk == "s1" else 260
+            wav = (0.2 * np.sin(2 * np.pi * f0 * t + k)).astype(np.float32)
+            save_wav_float(wav, str(d / name), SR)
+    spk = discover_utterances(str(root))
+    it = OnlineMixIterator(spk, 2, audio_len=2.0, seed=3)
+    s1_utts = spk["s1"]
+    base = lambda p: os.path.basename(p).replace("-norm", "")  # noqa: E731
+    draws = [it._draw_clean_and_emb(s1_utts, np.random.default_rng(i))
+             for i in range(50)]
+    assert all(base(c) != base(e) for c, e in draws)
+    # both orders occur (clean from 'a' with emb 'b' and vice versa)
+    assert len({(base(c), base(e)) for c, e in draws}) == 2
+    # single-recording speaker still works (falls back to raw/norm pair)
+    c, e = it._draw_clean_and_emb(spk["s2"], np.random.default_rng(0))
+    assert c != e

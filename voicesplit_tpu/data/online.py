@@ -224,6 +224,34 @@ class OnlineMixIterator:
         return emb
 
     # -- mixing ---------------------------------------------------------
+    @staticmethod
+    def _draw_clean_and_emb(
+        utts: Sequence[str], rng: np.random.Generator
+    ) -> Tuple[str, str]:
+        """Separation source and enrollment reference for one speaker.
+
+        Files are grouped by base recording (``x.wav`` and ``x-norm.wav``
+        are the SAME speech); when a speaker has ≥2 distinct recordings,
+        clean and emb come from different ones — conditioning on a copy
+        of the very utterance being separated is an eval leak and, in
+        training, lets the net cheat by matching content instead of
+        voice.  Single-recording speakers keep the old behavior."""
+        groups: Dict[str, List[str]] = {}
+        for u in utts:
+            b = os.path.basename(u)
+            b = b[: -len(".wav")] if b.endswith(".wav") else b
+            key = b[: -len("-norm")] if b.endswith("-norm") else b
+            groups.setdefault(key, []).append(u)
+        keys = sorted(groups)
+        if len(keys) >= 2:
+            gc, ge = (keys[int(i)] for i in rng.choice(len(keys), 2, replace=False))
+            clean = groups[gc][int(rng.integers(0, len(groups[gc])))]
+            emb = groups[ge][int(rng.integers(0, len(groups[ge])))]
+            return clean, emb
+        return tuple(
+            utts[int(i)] for i in rng.choice(len(utts), 2, replace=len(utts) < 2)
+        )
+
     def _make_item(self, epoch: int, index: int) -> Dict[str, np.ndarray]:
         base = np.random.default_rng((self._state.seed, epoch, index))
         for attempt in range(self.max_retries):
@@ -237,9 +265,7 @@ class OnlineMixIterator:
             if tgt_spk.split("~")[0] == intf_spk.split("~")[0]:
                 continue
             tgt_utts = self.speakers[tgt_spk]
-            clean_path, emb_path = (
-                tgt_utts[int(i)] for i in rng.choice(len(tgt_utts), 2, replace=len(tgt_utts) < 2)
-            )
+            clean_path, emb_path = self._draw_clean_and_emb(tgt_utts, rng)
             intf_utts = self.speakers[intf_spk]
             intf_path = intf_utts[int(rng.integers(0, len(intf_utts)))]
             sp = self.speed_perturb
