@@ -1,0 +1,50 @@
+"""Aggregate open-set fold reports into one table.
+
+Each `scripts/demo_train.py --holdout[_ids]` run writes a `report.json`;
+this prints a per-fold table (protocol, steps, the held-out SI-SNRi at
+the best-VALIDATION step — the only number the protocol allows quoting —
+and the end-of-run value) plus the across-fold mean, ready to paste into
+docs/RESULTS.md.
+
+Usage: python scripts/openset_report.py logs/*/report.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main(paths):
+    rows = []
+    for p in paths:
+        with open(p) as f:
+            r = json.load(f)
+        rows.append({
+            "path": p,
+            "protocol": r.get("eval_protocol", "?"),
+            "config": r.get("config", "?"),
+            "steps": r.get("steps"),
+            "best_val_step": r.get("best_val_step"),
+            "at_best_val": r.get("si_snri_at_best_val_db"),
+            "end": r.get("si_snri_end_db"),
+            "start": r.get("si_snri_start_db"),
+        })
+    w = max(len(r["path"]) for r in rows)
+    print(f"{'report':<{w}}  {'steps':>6}  {'best@val':>9}  {'end':>7}  {'start':>7}  protocol")
+    for r in rows:
+        bv = "  --  " if r["at_best_val"] is None else f"{r['at_best_val']:+.2f}"
+        print(f"{r['path']:<{w}}  {r['steps']:>6}  {bv:>9}  "
+              f"{r['end']:+7.2f}  {r['start']:+7.2f}  {r['protocol']}")
+    vals = [r["at_best_val"] for r in rows if r["at_best_val"] is not None]
+    if len(vals) > 1:
+        print(f"\nacross-fold mean held-out SI-SNRi at best-val: "
+              f"{np.mean(vals):+.2f} dB  (n={len(vals)} folds)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    main(sys.argv[1:])
