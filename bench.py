@@ -128,7 +128,13 @@ def run_bench(batch_size: int = 32, n_warmup: int = 3, n_steps: int = 20):
 
 
 def main():
-    value, detail = run_bench()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="measured best-throughput point on v5e-1 is 32")
+    args = p.parse_args()
+    value, detail = run_bench(batch_size=args.batch_size)
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)["value"]
