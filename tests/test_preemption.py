@@ -107,15 +107,21 @@ def test_resume_after_preemption_continues(workspace, tmp_path):
     res = tr.fit(max_steps=50, validate_at_epoch_start=False)
     assert res.get("preempted") is True and res["step"] == 4
 
+    # the preemption checkpoint exists at step 4
+    ckpt_preempt = latest_checkpoint(str(log_dir))
+    assert ckpt_preempt.endswith("checkpoint_4.msgpack")
+
     # the flag was cleared by the preemption path: a later fit() on the
-    # SAME trainer trains instead of instantly re-preempting (ADVICE r1)
+    # SAME trainer trains instead of instantly re-preempting (ADVICE r1);
+    # a normal completion off an interval boundary saves a FINAL checkpoint
     res_again = tr.fit(max_steps=6, validate_at_epoch_start=False)
     assert "preempted" not in res_again and res_again["step"] == 6
 
     ckpt = latest_checkpoint(str(log_dir))
+    assert ckpt.endswith("checkpoint_6.msgpack")
     tr2 = _trainer(c, log_dir, checkpoint_path=ckpt)
     import jax
 
-    assert int(jax.device_get(tr2.state.step)) == 4
-    res2 = tr2.fit(max_steps=6, validate_at_epoch_start=False)
-    assert res2["step"] == 6 and "preempted" not in res2
+    assert int(jax.device_get(tr2.state.step)) == 6
+    res2 = tr2.fit(max_steps=8, validate_at_epoch_start=False)
+    assert res2["step"] == 8 and "preempted" not in res2

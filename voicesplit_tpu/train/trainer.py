@@ -397,8 +397,15 @@ class Trainer:
                         self._checkpoint(True, step, compute_sdr_in_eval, max_eval_items)
 
                     if max_steps is not None and step >= max_steps:
+                        if step % c.checkpoint_interval != 0:
+                            # final state off an interval boundary would
+                            # otherwise be silently dropped
+                            self._checkpoint(False, step, compute_sdr_in_eval,
+                                             max_eval_items)
                         last["step"] = step
                         return last
+            if step > 0 and step % c.checkpoint_interval != 0:
+                self._checkpoint(False, step, compute_sdr_in_eval, max_eval_items)
             last["step"] = step
             return last
         finally:
