@@ -53,6 +53,20 @@ _ACTIVATIONS = {"relu": nn.relu, "mish": mish}
 BASE_CONV_CONTEXT = 65
 
 
+def remat_convs_enabled() -> bool:
+    """Opt-in (VOICESPLIT_REMAT_CONV=1): rematerialize each conv block in
+    backward instead of saving its activations.
+
+    Measured SLOWER at fitting batch sizes (B=16: 106 → 119.8 ms for the
+    heavy chain — recomputing the BN stats reduces costs more HBM traffic
+    than the saved residuals, docs/KERNELS.md), so it is OFF by default;
+    its purpose is fitting LARGER batches (the B=64 compile-time OOM) to
+    probe whether batch scaling buys back the recompute."""
+    import os
+
+    return os.environ.get("VOICESPLIT_REMAT_CONV", "0") == "1"
+
+
 def tapsum_conv_enabled() -> bool:
     """Opt-in (VOICESPLIT_TAPSUM_CONV=1) alternative conv path.
 
@@ -328,8 +342,12 @@ class MaskNet(nn.Module):
         ]
         for i in range(self.num_extra_dilated_blocks):
             specs.append(((5, 5), (32 * 2**i, 1)))  # wide-variant extension
+        conv_cls = ConvBlock
+        if remat_convs_enabled():
+            # train is static (python bool); self is arg 0
+            conv_cls = nn.remat(ConvBlock, static_argnums=(2,))
         blocks = [
-            ConvBlock(
+            conv_cls(
                 self.conv_channels, 1 if i == 0 else self.conv_channels,
                 k, d, self.activation,
                 self.param_dtype, self.compute_dtype,
@@ -339,7 +357,7 @@ class MaskNet(nn.Module):
             for i, (k, d) in enumerate(specs)
         ]
         blocks.append(
-            ConvBlock(
+            conv_cls(
                 self.conv_out_channels, self.conv_channels, (1, 1), (1, 1),
                 self.activation,
                 self.param_dtype, self.compute_dtype,
@@ -383,7 +401,7 @@ class MaskNet(nn.Module):
         as usual."""
         from voicesplit_tpu.ops.conv_fused import make_chain
 
-        y1 = self.conv_blocks[0](xf, train=True)
+        y1 = self.conv_blocks[0](xf, True)
         chain_blocks = self.conv_blocks[1:-1]
         chain = make_chain(self._chain_specs, T, self.num_freq, self.activation)
         weights = tuple(b.conv.kernel for b in chain_blocks)
@@ -396,7 +414,7 @@ class MaskNet(nn.Module):
         for b, m, v in zip(chain_blocks[:-1], means[:-1], vars_[:-1]):
             b.bn.update_running(m, v)
         hf = chain_blocks[-1].bn(raw, use_running_average=False)
-        return self.conv_blocks[-1](hf, train=True)
+        return self.conv_blocks[-1](hf, True)
 
     @property
     def conv_context(self) -> int:
