@@ -237,7 +237,15 @@ def main():
         import numpy as _np
 
         embeddings = {}
-        for spk, paths in speakers.items():
+        # enroll EVERY identity the iterators can draw — train identities
+        # including speed-perturbed pseudo-speakers (a pseudo id missing
+        # here would silently fall back to a random identity token and
+        # break d-vector-space conditioning) and held-out speakers (pure
+        # inference; their wavs never touched encoder training)
+        enroll = dict(train_speakers)
+        for s, v in eval_speakers.items():
+            enroll.setdefault(s, v)
+        for spk, paths in enroll.items():
             vs = [embed_utterance(enc, enc_params, ap, ap.load_wav(p))
                   for p in paths[:4]]
             v = _np.mean(_np.stack(vs), axis=0)
@@ -245,13 +253,21 @@ def main():
         from voicesplit_tpu.losses.ge2e import pairwise_eer
 
         utt_embs, utt_ids = [], []
-        for spk, paths in speakers.items():
+        for spk, paths in enroll.items():
             for p in paths[:3]:
                 utt_embs.append(embed_utterance(enc, enc_params, ap, ap.load_wav(p)))
                 utt_ids.append(spk)
-        eer = pairwise_eer(_np.stack(utt_embs), utt_ids)
-        print(f"GE2E encoder: final loss {enc_losses[-1]:.3f}, "
-              f"all-speaker pairwise EER {eer:.3f}", flush=True)
+        utt_embs = _np.stack(utt_embs)
+        eer = pairwise_eer(utt_embs, utt_ids)
+        held = set(eval_speakers) - set(train_speakers)
+        unseen_idx = [i for i, s in enumerate(utt_ids) if s in held]
+        msg = (f"GE2E encoder: final loss {enc_losses[-1]:.3f}, "
+               f"all-identity pairwise EER {eer:.3f}")
+        if unseen_idx and len(unseen_idx) < len(utt_ids):
+            eer_unseen = pairwise_eer(
+                utt_embs[unseen_idx], [utt_ids[i] for i in unseen_idx])
+            msg += f", held-out-only EER {eer_unseen:.3f}"
+        print(msg, flush=True)
         emb_mode_iter = "pseudo"  # dict hits take precedence; no fallback used
 
     model = make_masknet(c, streaming=args.causal)
