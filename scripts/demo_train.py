@@ -97,6 +97,10 @@ def main():
                               "first and condition on its d-vectors — the full "
                               "reference pipeline in-framework (open-set capable)")
     ap_args.add_argument("--ge2e_steps", type=int, default=1500)
+    ap_args.add_argument("--embeddings_file", type=str, default=None,
+                         help="npz of per-speaker d-vectors from a previous "
+                         "--emb ge2e run (skips encoder training; keeps the "
+                         "conditioning space identical for warm-start runs)")
     ap_args.add_argument("--holdout", type=int, default=0,
                          help="hold out the last N speakers entirely for eval "
                               "(open-set: unseen speakers; requires --emb "
@@ -218,7 +222,15 @@ def main():
 
     embeddings = None
     emb_mode_iter = args.emb
-    if args.emb == "ge2e":
+    if args.embeddings_file:
+        import numpy as _np
+
+        blob = _np.load(args.embeddings_file)
+        embeddings = {k: blob[k].astype(_np.float32) for k in blob.files}
+        print(f"loaded {len(embeddings)} enrollment d-vectors from "
+              f"{args.embeddings_file}", flush=True)
+        emb_mode_iter = "pseudo"  # dict hits take precedence
+    elif args.emb == "ge2e":
         # Full in-framework pipeline: train a GE2E encoder on the
         # TRAIN-split speakers only (held-out speakers stay unseen —
         # their d-vectors below are pure inference), then enroll every
@@ -376,6 +388,10 @@ def main():
 
         ckpt_path = save_checkpoint(args.out, state, c)
         print(f"checkpoint → {ckpt_path}", flush=True)
+        if embeddings:
+            emb_path = os.path.join(args.out, "embeddings.npz")
+            np.savez(emb_path, **embeddings)
+            print(f"enrollment d-vectors → {emb_path}", flush=True)
 
     report = {
         "config": "voicesplit + si_snr (flagship)"
