@@ -116,9 +116,13 @@ def main():
                          "±5 dB mixing-SNR jitter, [−6,0] dB gain jitter, "
                          "0.9/1.0/1.1 speed perturb (eval stays unaugmented)")
     ap_args.add_argument("--speaker_augment", action="store_true",
-                         help="triple the TRAIN speaker pool with 0.9x/1.1x "
-                         "playback-speed pseudo-speakers (distinct enrollment "
+                         help="multiply the TRAIN speaker pool with playback-"
+                         "speed pseudo-speakers (distinct enrollment "
                          "identities; held-out speakers stay unexposed)")
+    ap_args.add_argument("--speed_factors", type=str, default="0.9,1.1",
+                         help="comma-separated speed factors for "
+                         "--speaker_augment (each adds one pseudo-voice per "
+                         "train speaker)")
     ap_args.add_argument("--allow_short", action="store_true",
                          help="include speakers with <3 s utterances by placing "
                          "short sources in a zero bed (partial overlap); adds 5 "
@@ -209,7 +213,8 @@ def main():
 
     if args.speaker_augment:
         base_ids = sorted(s for s in train_speakers if "~p" not in s)
-        add_speed_pseudo_speakers(corpus, base_ids, ap.sample_rate)
+        factors = tuple(float(f) for f in args.speed_factors.split(","))
+        add_speed_pseudo_speakers(corpus, base_ids, ap.sample_rate, factors)
         rediscovered = discover_utterances(
             corpus, min_duration=(1.0 if args.allow_short else 3.0)
         )
