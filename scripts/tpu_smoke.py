@@ -96,7 +96,14 @@ def check_pallas_lstm():
     h0 = jnp.zeros((B, H), jnp.float32)
     c0 = jnp.zeros((B, H), jnp.float32)
 
-    out_ref, (hf_ref, cf_ref) = jax.jit(lstm_scan)(xp, whh, h0, c0)
+    # The reference scan runs at matmul precision HIGHEST: with fp32
+    # operands both sides then do full-precision MXU passes and the only
+    # difference is reassociation order.  (At DEFAULT the reference
+    # itself truncates to single-pass bf16 — 3.3e-3 from float64 at
+    # these shapes — and would be the less accurate side; measured in
+    # scripts/diag_lstm_bwd.py, analysis in docs/KERNELS.md.)
+    with jax.default_matmul_precision("highest"):
+        out_ref, (hf_ref, cf_ref) = jax.jit(lstm_scan)(xp, whh, h0, c0)
     out, (hf, cf) = jax.jit(fused_lstm_scan)(xp, whh, h0, c0)
     fwd_err = float(jnp.max(jnp.abs(out - out_ref)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
@@ -107,17 +114,22 @@ def check_pallas_lstm():
         out, (hf, cf) = fn(xp, whh, h0, c0)
         return jnp.sum(jnp.sin(out)) + jnp.sum(hf * hf) + jnp.sum(jnp.cos(cf))
 
-    g_ref = jax.jit(jax.grad(lambda *a: loss(lstm_scan, *a), argnums=(0, 1, 2, 3)))(
-        xp, whh, h0, c0
-    )
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.jit(
+            jax.grad(lambda *a: loss(lstm_scan, *a), argnums=(0, 1, 2, 3))
+        )(xp, whh, h0, c0)
     g = jax.jit(jax.grad(lambda *a: loss(fused_lstm_scan, *a), argnums=(0, 1, 2, 3)))(
         xp, whh, h0, c0
     )
+    # Measured headroom (v5e, these exact shapes/seed): max |Δ| vs the
+    # HIGHEST-precision scan is 8.8e-6; both sides sit ≤3.6e-4 from a
+    # float64 ground truth.  atol 5e-5 is ~6x the measured diff while
+    # still 20x tighter than the old gate.
     bwd_err = 0.0
     for a, b, name in zip(g, g_ref, ["dxp", "dwhh", "dh0", "dc0"]):
         bwd_err = max(bwd_err, float(jnp.max(jnp.abs(a - b))))
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3, err_msg=name
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4, err_msg=name
         )
     return {"fwd_max_abs_err": fwd_err, "bwd_max_abs_err": bwd_err}
 
@@ -221,6 +233,53 @@ def check_streaming():
     }
 
 
+@check("export_streaming")
+def check_export_streaming():
+    """StableHLO serving artifact: export the flagship streaming chunk
+    step, deserialize it cold, and require chunk-level numerical parity
+    with the live separator ON THE CHIP (round-2 VERDICT item 6 — the
+    artifact was previously only CPU-tested in tests/test_export.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voicesplit_tpu.config import Config
+    from voicesplit_tpu.export import export_streaming, load_exported
+    from voicesplit_tpu.models.masknet import make_masknet
+    from voicesplit_tpu.streaming import StreamingSeparator
+
+    c = Config()
+    c.model_name = "voicesplit"
+    model = make_masknet(c, streaming=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 601)), jnp.zeros((1, 256))
+    )
+    data, manifest = export_streaming(c, variables, chunk_frames=40, batch_size=1)
+    step = load_exported(data)
+
+    sep = StreamingSeparator(c, variables, chunk_frames=40)
+    state = sep.init_state(1)
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((1, 256)).astype(np.float32)
+    leaves = [np.asarray(x) for x in jax.tree.leaves(state)]
+    max_err = 0.0
+    for i in range(3):
+        samples = (0.05 * rng.standard_normal((1, sep.chunk_samples))).astype(
+            np.float32
+        )
+        state, ref_out = sep.process_chunk(state, samples, emb)
+        outs = step(*leaves, samples, emb)
+        leaves, out = [np.asarray(x) for x in outs[:-1]], np.asarray(outs[-1])
+        max_err = max(max_err, float(np.max(np.abs(out - np.asarray(ref_out)))))
+        np.testing.assert_allclose(
+            out, np.asarray(ref_out), atol=1e-4, err_msg=f"chunk {i}"
+        )
+    return {
+        "artifact_bytes": len(data),
+        "chunk_samples": manifest["chunk_samples"],
+        "max_abs_err_vs_live": max_err,
+    }
+
+
 @check("train_step")
 def check_train_step():
     import jax
@@ -286,7 +345,7 @@ def main():
     args = p.parse_args()
 
     checks = [check_backend, check_pallas_lstm, check_folded_conv,
-              check_streaming, check_train_step]
+              check_streaming, check_export_streaming, check_train_step]
     ok = all([fn() for fn in checks])
     summary = {"ok": ok, "checks": RESULTS}
     print(json.dumps({"tpu_smoke_ok": ok}), flush=True)

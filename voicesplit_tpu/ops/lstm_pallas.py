@@ -45,6 +45,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mxu_precision(dtype) -> jax.lax.Precision | None:
+    """fp32 operands must request HIGHEST or Mosaic runs the MXU in
+    single-pass bf16 (measured on v5e: dgrad err vs float64 3.3e-3 at
+    H=400 — docs/KERNELS.md "LSTM backward precision").  bf16 operands
+    are native MXU inputs; leave them at default (single pass, exact)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def pallas_lstm_available() -> bool:
     """Fused kernel on TPU by default (validated on v5e: forward exact vs
     lax.scan, fwd+bwd 1.6x faster); VOICESPLIT_PALLAS_LSTM=0 opts out."""
@@ -72,6 +80,7 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref, hs_ref, cs_ref, gates_ref, h_sc
     gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
         h_scr[:].astype(whh_ref.dtype), whh_ref[:],
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(whh_ref.dtype),
     )
     i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
     f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
@@ -165,16 +174,17 @@ def _bwd_kernel(
 
     dxp_ref[0] = dgates.astype(dxp_ref.dtype)
     dgates_mxu = dgates.astype(whh_ref.dtype)
+    prec = _mxu_precision(whh_ref.dtype)
     # dh_prev = dgates @ whh^T
     dh_scr[:] = jax.lax.dot_general(
         dgates_mxu, whh_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dc_scr[:] = dc_prev
     # dW_hh += h_prev^T @ dgates
     dw_scr[:] += jax.lax.dot_general(
         h_prev.astype(whh_ref.dtype), dgates_mxu, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
     @pl.when(t == n - 1)  # after processing t_abs = 0
@@ -252,8 +262,11 @@ def _fwd2_kernel(
     H = h_scr.shape[-1]
     B = half
     h_mxu = h_scr[:].astype(whhf_ref.dtype)
-    rec_f = jnp.dot(h_mxu[0:B], whhf_ref[:], preferred_element_type=jnp.float32)
-    rec_b = jnp.dot(h_mxu[B:], whhb_ref[:], preferred_element_type=jnp.float32)
+    prec = _mxu_precision(whhf_ref.dtype)
+    rec_f = jnp.dot(h_mxu[0:B], whhf_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+    rec_b = jnp.dot(h_mxu[B:], whhb_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
     gates = xp_ref[0].astype(jnp.float32) + jnp.concatenate([rec_f, rec_b], axis=0)
     i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
     f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
@@ -345,23 +358,24 @@ def _bwd2_kernel(
     dxp_ref[0] = dgates.astype(dxp_ref.dtype)
     dgates_mxu = dgates.astype(whhf_ref.dtype)
     h_prev_mxu = h_prev.astype(whhf_ref.dtype)
+    prec = _mxu_precision(whhf_ref.dtype)
     dh_f = jax.lax.dot_general(
         dgates_mxu[0:B], whhf_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dh_b = jax.lax.dot_general(
         dgates_mxu[B:], whhb_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dh_scr[:] = jnp.concatenate([dh_f, dh_b], axis=0)
     dc_scr[:] = dc_prev
     dwf_scr[:] += jax.lax.dot_general(
         h_prev_mxu[0:B], dgates_mxu[0:B], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dwb_scr[:] += jax.lax.dot_general(
         h_prev_mxu[B:], dgates_mxu[B:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
     @pl.when(t == n - 1)
