@@ -105,13 +105,42 @@ def run_bench(batch_size: int = 32, n_warmup: int = 3, n_steps: int = 20):
         V5E_HBM_BYTES_PER_S,
         a100_class_audio_throughput,
         masknet_train_step_cost,
+        measure_hbm_bandwidth,
     )
 
     step_s = dt / n_steps
     cost = masknet_train_step_cost(B, T)
     mfu = cost.mfu(step_s * n_chips)
     sol_s = cost.speed_of_light_s()
+    # Generous anchor: the REFERENCE (eager torch) on an A100, at the
+    # eager-torch utilization measured by scripts/a100_anchor.py.
     a100_anchor = a100_class_audio_throughput(B, c.audio.audio_len, cost)
+    # Skeptical anchor: OUR stack's MFU applied to the A100's bf16 peak
+    # ("an XLA-quality port on their chip").  With the live MFU the
+    # ratio reduces to the peak-FLOPS ratio 197/312 = 0.63 — which is
+    # the honest content of an equal-MFU comparison.
+    a100_equal_mfu = B * c.audio.audio_len / (
+        cost.flops / (A100_BF16_FLOPS * mfu)
+    )
+    # Practical roofline (VERDICT r2 item 8): speed-of-light against the
+    # HBM bandwidth THIS chip actually achieves (measured live each run,
+    # docs/KERNELS.md "Practical HBM bandwidth"), not the datasheet —
+    # and against the FLOPs/bytes of the COMPILED step from XLA's own
+    # cost analysis (captures the fold/pad overhead the MXU really
+    # executes), not the analytic model-FLOP count.
+    measured_bw = measure_hbm_bandwidth()
+    xla_flops = xla_bytes = None
+    try:
+        ca = train_step.lower(state, batch).compile().cost_analysis()
+        if ca:
+            xla_flops = float(ca.get("flops", 0.0)) or None
+            xla_bytes = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # noqa: BLE001 — roofline is advisory
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    practical_sol_s = max(
+        (xla_flops or cost.flops) / V5E_BF16_FLOPS,
+        (xla_bytes or cost.hbm_bytes) / measured_bw,
+    )
     return value, {
         "step_ms": step_s * 1e3,
         "batch_size": B,
@@ -121,8 +150,18 @@ def run_bench(batch_size: int = 32, n_warmup: int = 3, n_steps: int = 20):
         "model_tflops_per_step": round(cost.flops / 1e12, 3),
         "hbm_bw_util": round(cost.hbm_bytes / (step_s * n_chips) / V5E_HBM_BYTES_PER_S, 4),
         "speed_of_light_fraction": round(sol_s / (step_s * n_chips), 4),
+        "measured_hbm_gb_per_s": round(measured_bw / 1e9, 1),
+        "xla_executed_tflops_per_step": (
+            round(xla_flops / 1e12, 3) if xla_flops else None
+        ),
+        "xla_bytes_accessed_gb": (
+            round(xla_bytes / 1e9, 3) if xla_bytes else None
+        ),
+        "practical_sol_fraction": round(practical_sol_s / (step_s * n_chips), 4),
         "a100_class_audio_sec_per_s": round(a100_anchor, 1),
         "vs_a100_class": round(value / a100_anchor, 3),
+        "a100_equal_mfu_audio_sec_per_s": round(a100_equal_mfu, 1),
+        "vs_a100_equal_mfu": round(value / a100_equal_mfu, 3),
         "peak_tflops": {"v5e_bf16": V5E_BF16_FLOPS / 1e12, "a100_bf16": A100_BF16_FLOPS / 1e12},
     }
 
@@ -149,6 +188,8 @@ def main():
         "vs_baseline": round(value / baseline, 3),
         "mfu": detail["mfu"],
         "vs_a100_class": detail["vs_a100_class"],
+        "vs_a100_equal_mfu": detail["vs_a100_equal_mfu"],
+        "practical_sol_fraction": detail["practical_sol_fraction"],
     }
     print(json.dumps(result))
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
