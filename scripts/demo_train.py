@@ -54,19 +54,45 @@ def build_corpus(out_dir: str) -> str:
     return corpus
 
 
-def add_speed_pseudo_speakers(corpus, train_ids, sample_rate, factors=(0.9, 1.1)):
-    """Write speed-perturbed copies of each train speaker as NEW speaker
-    dirs (``<spk>~p90``) — resampled playback shifts pitch and formants,
-    so each copy is a distinct enrollment identity.  The standard recipe
-    for multiplying speaker diversity on tiny corpora (train-side only:
-    held-out speakers keep zero exposure, direct or perturbed... their
-    dirs are simply never passed in via ``train_ids``)."""
+def add_pseudo_speakers(corpus, train_ids, sample_rate, speed_factors=(),
+                        pitch_semitones=(), vtlp_alphas=()):
+    """Write perturbed copies of each train speaker as NEW speaker dirs —
+    each perturbation is a distinct enrollment identity (the standard
+    recipe for multiplying speaker diversity on tiny corpora; train-side
+    only: held-out speakers keep zero exposure, direct or perturbed —
+    their dirs are simply never passed in via ``train_ids``).
+
+    Three orthogonal voice axes (round-2 bottleneck: too few
+    IDENTITIES, encoder held-out EER 0.233 — docs/RESULTS.md):
+
+    - ``<spk>~p090``: resampled playback (pitch+formants+tempo coupled)
+    - ``<spk>~s+2.0``: pitch shift at CONSTANT tempo (dsp/augment.py)
+    - ``<spk>~v110``: VTLP formant warp — timbre only, pitch untouched
+    """
     from voicesplit_tpu.dsp.audio_io import load_wav, resample, save_wav
 
+    jobs = []  # (dir tag, transform)
+    for f in speed_factors:
+        jobs.append((
+            f"p{int(round(f * 100)):03d}",
+            # playback-speed change: resample to sr/f, label as sr
+            lambda wav, f=f: resample(wav, sample_rate, int(round(sample_rate / f))),
+        ))
+    if pitch_semitones or vtlp_alphas:
+        from voicesplit_tpu.dsp.augment import pitch_shift, vtlp
+
+        for st in pitch_semitones:
+            jobs.append((
+                f"s{st:+.1f}", lambda wav, st=st: pitch_shift(wav, sample_rate, st)
+            ))
+        for a in vtlp_alphas:
+            jobs.append((
+                f"v{int(round(a * 100)):03d}", lambda wav, a=a: vtlp(wav, sample_rate, a)
+            ))
     for spk in sorted(train_ids):
         src_dir = os.path.join(corpus, spk)
-        for f in factors:
-            dst_dir = os.path.join(corpus, f"{spk}~p{int(round(f * 100)):03d}")
+        for tag, transform in jobs:
+            dst_dir = os.path.join(corpus, f"{spk}~{tag}")
             os.makedirs(dst_dir, exist_ok=True)
             for w in sorted(os.listdir(src_dir)):
                 if not w.endswith(".wav"):
@@ -75,9 +101,7 @@ def add_speed_pseudo_speakers(corpus, train_ids, sample_rate, factors=(0.9, 1.1)
                 if os.path.exists(dst):
                     continue
                 wav = load_wav(os.path.join(src_dir, w), sample_rate)
-                # playback-speed change: resample to sr/f, label as sr
-                save_wav(resample(wav, sample_rate, int(round(sample_rate / f))),
-                         dst, sample_rate)
+                save_wav(transform(wav), dst, sample_rate)
 
 
 def main():
@@ -123,6 +147,18 @@ def main():
                          help="comma-separated speed factors for "
                          "--speaker_augment (each adds one pseudo-voice per "
                          "train speaker)")
+    ap_args.add_argument("--pitch_semitones", type=str, default="",
+                         help="comma-separated semitone shifts (e.g. '-2,2'): "
+                         "constant-tempo pitch-shift pseudo-voices per train "
+                         "speaker (needs --speaker_augment)")
+    ap_args.add_argument("--vtlp_alphas", type=str, default="",
+                         help="comma-separated VTLP warp factors (e.g. "
+                         "'0.9,1.1'): formant-warp pseudo-voices per train "
+                         "speaker (needs --speaker_augment)")
+    ap_args.add_argument("--emb_noise", type=float, default=0.0,
+                         help="train-time Gaussian noise std on d-vectors "
+                         "(renormalized) so conditioning degrades gracefully "
+                         "on imperfect embeddings; eval stays clean")
     ap_args.add_argument("--allow_short", action="store_true",
                          help="include speakers with <3 s utterances by placing "
                          "short sources in a zero bed (partial overlap); adds 5 "
@@ -212,9 +248,19 @@ def main():
              if c.train_config.learning_rate >= 1e-2 else ""), flush=True)
 
     if args.speaker_augment:
-        base_ids = sorted(s for s in train_speakers if "~p" not in s)
-        factors = tuple(float(f) for f in args.speed_factors.split(","))
-        add_speed_pseudo_speakers(corpus, base_ids, ap.sample_rate, factors)
+        base_ids = sorted(s for s in train_speakers if "~" not in s)
+        factors = tuple(
+            float(f) for f in args.speed_factors.split(",") if f.strip()
+        )
+        semis = tuple(
+            float(s) for s in args.pitch_semitones.split(",") if s.strip()
+        )
+        alphas = tuple(
+            float(a) for a in args.vtlp_alphas.split(",") if a.strip()
+        )
+        add_pseudo_speakers(corpus, base_ids, ap.sample_rate,
+                            speed_factors=factors, pitch_semitones=semis,
+                            vtlp_alphas=alphas)
         rediscovered = discover_utterances(
             corpus, min_duration=(1.0 if args.allow_short else 3.0)
         )
@@ -234,6 +280,23 @@ def main():
         embeddings = {k: blob[k].astype(_np.float32) for k in blob.files}
         print(f"loaded {len(embeddings)} enrollment d-vectors from "
               f"{args.embeddings_file}", flush=True)
+        # Any identity the iterators can draw MUST be covered: a miss
+        # silently falls back to a hash-seeded random embedding in
+        # OnlineMixIterator._embedding, corrupting d-vector conditioning
+        # (e.g. embeddings.npz written before --speaker_augment /
+        # --speed_factors / --holdout_ids changed the identity pool).
+        missing = sorted(
+            (set(train_speakers) | set(eval_speakers) | set(val_speakers))
+            - set(embeddings)
+        )
+        if missing:
+            raise SystemExit(
+                f"--embeddings_file {args.embeddings_file} lacks d-vectors "
+                f"for {len(missing)} identities the run would draw: "
+                f"{missing[:10]}{' ...' if len(missing) > 10 else ''} — "
+                "re-extract embeddings with the same augmentation/holdout "
+                "flags as this run."
+            )
         emb_mode_iter = "pseudo"  # dict hits take precedence
     elif args.emb == "ge2e":
         # Full in-framework pipeline: train a GE2E encoder on the
@@ -320,6 +383,7 @@ def main():
         audio_len=c.audio.audio_len, seed=17, items_per_epoch=256,
         emb_mode=emb_mode_iter, embeddings=embeddings,
         augment=args.augment, allow_short=args.allow_short,
+        emb_noise=args.emb_noise,
     )
     # held-out mixtures: disjoint speakers with --holdout (open-set),
     # otherwise a different seed ⇒ different pairings/crops (closed-set).
@@ -403,6 +467,9 @@ def main():
         + (" causal+uniLSTM" if args.causal else "")
         + (" +augment" if args.augment else "")
         + (" +speaker_augment" if args.speaker_augment else "")
+        + (f" +pitch[{args.pitch_semitones}]" if args.pitch_semitones else "")
+        + (f" +vtlp[{args.vtlp_alphas}]" if args.vtlp_alphas else "")
+        + (f" +emb_noise{args.emb_noise}" if args.emb_noise else "")
         + (" +allow_short" if args.allow_short else "")
         + (" warm_start" if args.warm_start else ""),
         "emb_mode": args.emb,

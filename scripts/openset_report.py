@@ -34,10 +34,15 @@ def main(paths):
         })
     w = max(len(r["path"]) for r in rows)
     print(f"{'report':<{w}}  {'steps':>6}  {'best@val':>9}  {'end':>7}  {'start':>7}  protocol")
+    def fmt(v, spec):
+        # older round-1 reports may lack any of these fields — show "--"
+        return "--" if v is None else format(v, spec)
+
     for r in rows:
-        bv = "  --  " if r["at_best_val"] is None else f"{r['at_best_val']:+.2f}"
-        print(f"{r['path']:<{w}}  {r['steps']:>6}  {bv:>9}  "
-              f"{r['end']:+7.2f}  {r['start']:+7.2f}  {r['protocol']}")
+        print(f"{r['path']:<{w}}  {fmt(r['steps'], '>6')!s:>6}  "
+              f"{fmt(r['at_best_val'], '+.2f'):>9}  "
+              f"{fmt(r['end'], '+.2f'):>7}  {fmt(r['start'], '+.2f'):>7}  "
+              f"{r['protocol']}")
     vals = [r["at_best_val"] for r in rows if r["at_best_val"] is not None]
     if len(vals) > 1:
         print(f"\nacross-fold mean held-out SI-SNRi at best-val: "

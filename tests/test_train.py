@@ -316,13 +316,35 @@ def test_async_checkpointer_matches_sync(tmp_path, setup):
 def test_async_checkpointer_surfaces_write_errors(tmp_path, setup):
     from voicesplit_tpu.train.checkpoint import AsyncCheckpointer
 
+    import os
+
+    import jax
+
+    from voicesplit_tpu.train.checkpoint import CKPT_PATTERN
+
     c, ap, model, state, step_fn = setup
-    bad_dir = str(tmp_path / "file_not_dir")
-    with open(bad_dir, "w") as f:
-        f.write("x")  # save's makedirs/tmp-write must fail
-    w = AsyncCheckpointer()
     import pytest as _pytest
 
-    with _pytest.raises((RuntimeError, OSError)):
+    # Synchronous failure path: log_dir is a file, save()'s makedirs
+    # raises in the caller before any worker thread starts.
+    bad_dir = str(tmp_path / "file_not_dir")
+    with open(bad_dir, "w") as f:
+        f.write("x")
+    w = AsyncCheckpointer()
+    with _pytest.raises(OSError):
         w.save(bad_dir, state, c)
+
+    # Asynchronous failure path: makedirs succeeds but the WORKER's
+    # tmp-file write fails (the .tmp path is pre-created as a
+    # directory), so the error can only surface via wait()'s
+    # worker-thread-failure -> RuntimeError re-raise.
+    log_dir = str(tmp_path / "logs")
+    os.makedirs(log_dir)
+    step = int(jax.device_get(state.step))
+    os.makedirs(os.path.join(log_dir, (CKPT_PATTERN % step) + ".tmp"))
+    w = AsyncCheckpointer()
+    w.save(log_dir, state, c)  # must NOT raise here — write is async
+    with _pytest.raises(RuntimeError, match="async checkpoint write failed"):
         w.wait()
+    # the error is consumed: a subsequent wait() is clean
+    w.wait()

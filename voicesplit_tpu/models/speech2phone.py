@@ -202,8 +202,10 @@ def speech2phone_embedding(
 ) -> np.ndarray:
     """The notebook's full extraction protocol → 80-d embedding.
 
-    Trim silence; loop-concatenate clips whose integer duration is
-    ≤ 5 s (cell 12: ``while int(aux.duration_seconds) <= 5``); slide
+    Trim silence; clips whose integer duration is < 5 s are extended by
+    repeatedly appending the original clip until int(duration) > 5
+    (cell 12: ``if int(wave.duration_seconds) < 5: ... while
+    int(aux.duration_seconds) <= 5: aux += wave``); slide
     5 s windows at 1 s hops while the window end ≤ int(duration);
     MFCC + encode each; mean over windows.  Returns ``None``-equivalent
     (the ``[0]`` sentinel) for all-silent input, mirroring the dataset
@@ -217,8 +219,15 @@ def speech2phone_embedding(
     if sample_rate != SAMPLE_RATE:
         wav = resample(wav, sample_rate, SAMPLE_RATE)
     seg = SEGMENT_SECONDS * SAMPLE_RATE
-    while int(wav.size / SAMPLE_RATE) <= SEGMENT_SECONDS:
-        wav = np.concatenate([wav, wav])
+    # Notebook cell 12: only clips with int(duration) < 5 are extended
+    # (5.0-5.99 s clips embed from their single [0:5] window), and each
+    # iteration appends the ORIGINAL clip (`aux += wave`, starting from
+    # aux = wave), not a doubling of the running buffer.
+    if int(wav.size / SAMPLE_RATE) < SEGMENT_SECONDS:
+        aux = wav
+        while int(aux.size / SAMPLE_RATE) <= SEGMENT_SECONDS:
+            aux = np.concatenate([aux, wav])
+        wav = aux
     dur_s = int(wav.size / SAMPLE_RATE)
     starts = range(0, dur_s - SEGMENT_SECONDS + 1, STEP_SECONDS)
     mfccs = np.stack(
