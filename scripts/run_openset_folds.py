@@ -1,0 +1,127 @@
+"""Rotating leave-k-out open-set campaign driver (round-2 VERDICT item 2a).
+
+Partitions the mixable demo speakers into ``n_folds`` disjoint held-out
+groups, runs `scripts/demo_train.py` once per fold (each run trains its
+own GE2E encoder on that fold's TRAIN split only, then the mask net),
+and aggregates the per-fold reports into one across-fold table via
+`scripts/openset_report.py` plus a machine-readable summary JSON.
+
+The quoted number per fold is held-out SI-SNRi at the best-VALIDATION
+step (validation = train speakers, disjoint mixing seed — the
+reference's checkpoint-selection protocol); the campaign headline is
+the across-fold mean of that number.
+
+Usage:
+  python scripts/run_openset_folds.py --steps 5000 [--folds 4]
+      [--out logs/openset_r3] [--extra "--pitch_semitones -2,2 ..."]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shlex
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def mixable_ids() -> list:
+    sys.path.insert(0, REPO)
+    from scripts.demo_train import build_corpus
+    from voicesplit_tpu.data.online import discover_utterances
+
+    corpus = build_corpus("/tmp/openset_fold_probe")
+    return sorted(discover_utterances(corpus, min_duration=3.0))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=5000)
+    p.add_argument("--ge2e_steps", type=int, default=3000)
+    p.add_argument("--holdout_k", type=int, default=4)
+    p.add_argument("--folds", type=int, default=4)
+    p.add_argument("--out", default="logs/openset_r3")
+    p.add_argument("--extra", default="",
+                   help="extra demo_train args appended verbatim, e.g. "
+                   "'--pitch_semitones -2,2 --vtlp_alphas 0.9,1.1 "
+                   "--emb_noise 0.05'")
+    p.add_argument("--timeout", type=int, default=7200, help="per fold, s")
+    args = p.parse_args()
+
+    ids = mixable_ids()
+    k, n = args.holdout_k, args.folds
+    if n * k > len(ids):
+        raise SystemExit(f"{n} folds x {k} held-out > {len(ids)} mixable ids")
+    print(f"{len(ids)} mixable speakers; {n} folds of {k} held-out", flush=True)
+
+    reports = []
+    for i in range(n):
+        fold_ids = ids[i * k:(i + 1) * k]
+        out_dir = os.path.join(args.out, f"fold{i}")
+        cmd = [
+            sys.executable, os.path.join(HERE, "demo_train.py"),
+            "--steps", str(args.steps),
+            "--ge2e_steps", str(args.ge2e_steps),
+            "--emb", "ge2e",
+            "--holdout_ids", ",".join(fold_ids),
+            "--lr", "1e-3", "--lr_decay",
+            "--augment", "--speaker_augment", "--allow_short",
+            "--out", out_dir,
+        ] + shlex.split(args.extra)
+        print(f"\n=== fold {i}: holdout {fold_ids} ===\n{' '.join(cmd)}",
+              flush=True)
+        t0 = time.time()
+        r = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
+        print(f"fold {i}: rc={r.returncode} in {time.time() - t0:.0f}s",
+              flush=True)
+        rp = os.path.join(out_dir, "report.json")
+        if r.returncode == 0 and os.path.exists(rp):
+            reports.append(rp)
+
+    if reports:
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "openset_report.py")] + reports,
+            cwd=REPO,
+        )
+        vals = []
+        rows = []
+        for rp in reports:
+            with open(rp) as f:
+                rep = json.load(f)
+            rows.append({
+                "fold": rp,
+                "holdout": rep.get("eval_protocol"),
+                "steps": rep.get("steps"),
+                "si_snri_at_best_val_db": rep.get("si_snri_at_best_val_db"),
+                "best_val_step": rep.get("best_val_step"),
+                "si_snri_end_db": rep.get("si_snri_end_db"),
+                "si_snri_start_db": rep.get("si_snri_start_db"),
+                "config": rep.get("config"),
+            })
+            v = rep.get("si_snri_at_best_val_db")
+            if v is not None:
+                vals.append(v)
+        summary = {
+            "n_folds": len(reports),
+            "holdout_k": k,
+            "steps": args.steps,
+            "extra": args.extra,
+            "mean_si_snri_at_best_val_db": (
+                sum(vals) / len(vals) if vals else None
+            ),
+            "folds": rows,
+        }
+        out_json = os.path.join(REPO, "docs", "openset_folds_r3.json")
+        with open(out_json, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"\nsummary -> {out_json}")
+        print(json.dumps({k: v for k, v in summary.items() if k != "folds"}))
+
+
+if __name__ == "__main__":
+    main()

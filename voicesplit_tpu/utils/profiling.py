@@ -60,24 +60,35 @@ A100_CLASS_UTILIZATION = _measured_a100_utilization()
 
 
 def measure_hbm_bandwidth(
-    dtype=None, mib: int = 512, n_iters: int = 10
+    dtype=None, mib: int = 256, n_loop: int = 16, n_iters: int = 5
 ) -> float:
     """Measured achievable HBM bandwidth (bytes/s) on the current device.
 
-    Times a jitted ``x + 1`` over a `mib`-MiB array: one read + one
-    write per element, layout-independent.  On the tunneled axon v5e
-    this lands far below the 819 GB/s datasheet (~275 GB/s bf16 —
-    docs/KERNELS.md "Practical HBM bandwidth"); rooflines that want the
-    *practical* floor should use this, not the datasheet constant.
+    Times a jitted `fori_loop` of ``v + 1`` passes over a `mib`-MiB
+    array — each iteration is a separate loop-carried computation, so
+    XLA cannot fuse the chain into one pass — returning only a SCALAR
+    sum (a full-array device_get over the tunneled axon platform takes
+    minutes and would swamp the measurement).  Lands far below the
+    819 GB/s datasheet here (~275 GB/s bf16 — docs/KERNELS.md
+    "Practical HBM bandwidth"); rooflines that want the *practical*
+    floor should use this, not the datasheet constant.
     """
     import jax.numpy as jnp
+    from jax import lax
 
     dtype = dtype or jnp.bfloat16
     n = mib * (1 << 20) // jnp.dtype(dtype).itemsize
-    x = jnp.ones((n,), dtype)
-    f = jax.jit(lambda v: v + 1)
-    r = time_fn(f, x, n_warmup=2, n_iters=n_iters)
-    bytes_moved = 2 * n * jnp.dtype(dtype).itemsize  # read + write
+    x = jnp.zeros((n,), dtype)
+
+    @jax.jit
+    def f(v):
+        out = lax.fori_loop(0, n_loop, lambda i, a: a + 1, v)
+        return out[::4096].astype(jnp.float32).sum()  # cheap scalar sync
+
+    sync = lambda res: float(jax.device_get(res))
+    r = time_fn(f, x, n_warmup=2, n_iters=n_iters, sync=sync)
+    # each loop iteration: one read + one write of the full array
+    bytes_moved = n_loop * 2 * n * jnp.dtype(dtype).itemsize
     return bytes_moved / r["median_s"]
 
 
