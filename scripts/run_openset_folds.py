@@ -116,7 +116,12 @@ def main():
             ),
             "folds": rows,
         }
-        out_json = os.path.join(REPO, "docs", "openset_folds_r3.json")
+        # summary file is named after the campaign's --out dir so two
+        # campaigns (e.g. sparse vs dense pseudo-voice grids) never
+        # overwrite each other's record
+        out_json = os.path.join(
+            REPO, "docs", f"{os.path.basename(args.out.rstrip('/'))}_folds.json"
+        )
         with open(out_json, "w") as f:
             json.dump(summary, f, indent=2)
         print(f"\nsummary -> {out_json}")
