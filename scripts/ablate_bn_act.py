@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from voicesplit_tpu.ops.bn_act import folded_bn_act_train
 
 B, T, Fb, C2 = 16, 301, 301, 128

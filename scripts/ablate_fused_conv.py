@@ -9,6 +9,8 @@ cotangent (same methodology as ablate_conv.py).  Run alone on the chip:
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import sys
 import time

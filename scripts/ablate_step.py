@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 from voicesplit_tpu.config import Config
 from voicesplit_tpu.dsp.processor import AudioProcessor
 from voicesplit_tpu.losses import si_snr_with_pit, power_law_compressed_loss
