@@ -158,6 +158,16 @@ def main():
                          help="comma-separated VTLP warp factors (e.g. "
                          "'0.9,1.1'): formant-warp pseudo-voices per train "
                          "speaker (needs --speaker_augment)")
+    ap_args.add_argument("--encoder_grid", type=str, default=None,
+                         help="restrict the GE2E ENCODER's training identities "
+                         "to this pseudo-voice sub-grid while the mask net "
+                         "keeps the full --speaker_augment pool. Format "
+                         "'pitch:<csv>;vtlp:<csv>;speed:<csv>' (omitted axes "
+                         "keep no pseudo-voices on that axis; base voices "
+                         "always included). Measured motive (fold 0): the "
+                         "dense ±4 st grid helps mask-net diversity but "
+                         "degrades encoder held-out EER 0.022 → 0.200 — the "
+                         "two consumers want different grids.")
     ap_args.add_argument("--emb_noise", type=float, default=0.0,
                          help="train-time Gaussian noise std on d-vectors "
                          "(renormalized) so conditioning degrades gracefully "
@@ -275,6 +285,7 @@ def main():
               f"{len(train_speakers)} identities", flush=True)
 
     embeddings = None
+    encoder_eer = None
     emb_mode_iter = args.emb
     if args.embeddings_file:
         import numpy as _np
@@ -308,11 +319,35 @@ def main():
         # speaker as the mean d-vector over their utterances.
         from voicesplit_tpu.train.encoder import embed_utterance, train_ge2e
 
-        n_enc = min(8, len(train_speakers))
-        print(f"training GE2E encoder on {len(train_speakers)} speakers "
+        enc_speakers = train_speakers
+        if args.encoder_grid is not None:
+            # Same suffix-tag scheme as add_pseudo_speakers: p<speed*100>,
+            # s<+semitones>, v<alpha*100>. Base voices always stay in.
+            allowed = set()
+            for part in args.encoder_grid.split(";"):
+                if not part.strip():
+                    continue
+                axis, _, csv = part.partition(":")
+                vals = [float(v) for v in csv.split(",") if v.strip()]
+                if axis == "speed":
+                    allowed |= {f"p{int(round(f * 100)):03d}" for f in vals}
+                elif axis == "pitch":
+                    allowed |= {f"s{st:+.1f}" for st in vals}
+                elif axis == "vtlp":
+                    allowed |= {f"v{int(round(a * 100)):03d}" for a in vals}
+                else:
+                    raise SystemExit(f"--encoder_grid: unknown axis {axis!r}")
+            enc_speakers = {
+                s: v for s, v in train_speakers.items()
+                if "~" not in s or s.split("~", 1)[1] in allowed
+            }
+            print(f"encoder grid: {len(enc_speakers)} of "
+                  f"{len(train_speakers)} identities", flush=True)
+        n_enc = min(8, len(enc_speakers))
+        print(f"training GE2E encoder on {len(enc_speakers)} speakers "
               f"({args.ge2e_steps} steps, N={n_enc} M=4)...", flush=True)
         enc, enc_params, _, enc_losses = train_ge2e(
-            ap, train_speakers, n_speakers=n_enc, m_utts=4,
+            ap, enc_speakers, n_speakers=n_enc, m_utts=4,
             steps=args.ge2e_steps, lr=3e-4,
             lstm_hidden=256, lstm_layers=2, emb_dim=c.model.emb_dim,
             seed=7, log_interval=max(50, args.ge2e_steps // 10),
@@ -346,10 +381,12 @@ def main():
         unseen_idx = [i for i, s in enumerate(utt_ids) if s in held]
         msg = (f"GE2E encoder: final loss {enc_losses[-1]:.3f}, "
                f"all-identity pairwise EER {eer:.3f}")
+        encoder_eer = {"all_identity": round(float(eer), 4)}
         if unseen_idx and len(unseen_idx) < len(utt_ids):
             eer_unseen = pairwise_eer(
                 utt_embs[unseen_idx], [utt_ids[i] for i in unseen_idx])
             msg += f", held-out-only EER {eer_unseen:.3f}"
+            encoder_eer["held_out_only"] = round(float(eer_unseen), 4)
         print(msg, flush=True)
         emb_mode_iter = "pseudo"  # dict hits take precedence; no fallback used
 
@@ -472,10 +509,12 @@ def main():
         + (" +speaker_augment" if args.speaker_augment else "")
         + (f" +pitch[{args.pitch_semitones}]" if args.pitch_semitones else "")
         + (f" +vtlp[{args.vtlp_alphas}]" if args.vtlp_alphas else "")
+        + (f" +enc_grid[{args.encoder_grid}]" if args.encoder_grid else "")
         + (f" +emb_noise{args.emb_noise}" if args.emb_noise else "")
         + (" +allow_short" if args.allow_short else "")
         + (" warm_start" if args.warm_start else ""),
         "emb_mode": args.emb,
+        "encoder_eer": encoder_eer,
         "eval_mixtures": len(eval_batches) * B,
         "eval_protocol": (
             f"open-set: {args.holdout} held-out speakers" if args.holdout
