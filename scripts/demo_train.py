@@ -107,6 +107,31 @@ def add_pseudo_speakers(corpus, train_ids, sample_rate, speed_factors=(),
                 save_wav(transform(wav), dst, sample_rate)
 
 
+def encoder_grid_subset(speakers: dict, spec: str) -> dict:
+    """Restrict a (post-augment) speaker pool to the pseudo-voice sub-grid
+    named by ``spec`` ('pitch:<csv>;vtlp:<csv>;speed:<csv>'); base voices
+    (no '~' tag) always stay in.  Tag scheme matches add_pseudo_speakers:
+    p<speed*100>, s<+semitones>, v<alpha*100>."""
+    allowed = set()
+    for part in spec.split(";"):
+        if not part.strip():
+            continue
+        axis, _, csv = part.partition(":")
+        vals = [float(v) for v in csv.split(",") if v.strip()]
+        if axis == "speed":
+            allowed |= {f"p{int(round(f * 100)):03d}" for f in vals}
+        elif axis == "pitch":
+            allowed |= {f"s{st:+.1f}" for st in vals}
+        elif axis == "vtlp":
+            allowed |= {f"v{int(round(a * 100)):03d}" for a in vals}
+        else:
+            raise SystemExit(f"--encoder_grid: unknown axis {axis!r}")
+    return {
+        s: v for s, v in speakers.items()
+        if "~" not in s or s.split("~", 1)[1] in allowed
+    }
+
+
 def main():
     ap_args = argparse.ArgumentParser()
     ap_args.add_argument("--steps", type=int, default=300)
@@ -321,26 +346,8 @@ def main():
 
         enc_speakers = train_speakers
         if args.encoder_grid is not None:
-            # Same suffix-tag scheme as add_pseudo_speakers: p<speed*100>,
-            # s<+semitones>, v<alpha*100>. Base voices always stay in.
-            allowed = set()
-            for part in args.encoder_grid.split(";"):
-                if not part.strip():
-                    continue
-                axis, _, csv = part.partition(":")
-                vals = [float(v) for v in csv.split(",") if v.strip()]
-                if axis == "speed":
-                    allowed |= {f"p{int(round(f * 100)):03d}" for f in vals}
-                elif axis == "pitch":
-                    allowed |= {f"s{st:+.1f}" for st in vals}
-                elif axis == "vtlp":
-                    allowed |= {f"v{int(round(a * 100)):03d}" for a in vals}
-                else:
-                    raise SystemExit(f"--encoder_grid: unknown axis {axis!r}")
-            enc_speakers = {
-                s: v for s, v in train_speakers.items()
-                if "~" not in s or s.split("~", 1)[1] in allowed
-            }
+            enc_speakers = encoder_grid_subset(train_speakers,
+                                               args.encoder_grid)
             print(f"encoder grid: {len(enc_speakers)} of "
                   f"{len(train_speakers)} identities", flush=True)
         n_enc = min(8, len(enc_speakers))

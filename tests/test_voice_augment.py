@@ -116,3 +116,25 @@ def test_emb_noise_deterministic_and_normalized():
         clean = OnlineMixIterator(speakers, **{**kw, "emb_noise": 0.0})
         b0 = next(clean)
         assert float(np.max(np.abs(b0["emb"] - b1["emb"]))) > 1e-3
+
+
+def test_encoder_grid_subset_filters_by_tag():
+    # the suffix-tag scheme add_pseudo_speakers writes: p<speed*100>,
+    # s<+semitones>, v<alpha*100>; base voices always survive
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from scripts.demo_train import encoder_grid_subset
+
+    pool = {
+        "84": ["a"], "84~p090": ["b"], "84~p110": ["c"],
+        "84~s-2.0": ["d"], "84~s+4.0": ["e"],
+        "84~v090": ["f"], "84~v115": ["g"],
+    }
+    kept = encoder_grid_subset(pool, "pitch:-2;vtlp:0.9;speed:0.9,1.1")
+    assert set(kept) == {"84", "84~p090", "84~p110", "84~s-2.0", "84~v090"}
+    # omitted axis drops that axis's pseudo-voices entirely
+    assert set(encoder_grid_subset(pool, "speed:0.9")) == {"84", "84~p090"}
+    # unknown axis is a hard error
+    import pytest
+    with pytest.raises(SystemExit):
+        encoder_grid_subset(pool, "formant:1.0")
