@@ -183,6 +183,16 @@ def main():
                          help="comma-separated VTLP warp factors (e.g. "
                          "'0.9,1.1'): formant-warp pseudo-voices per train "
                          "speaker (needs --speaker_augment)")
+    ap_args.add_argument("--val_holdout_ids", type=str, default=None,
+                         help="comma-separated speaker ids excluded from "
+                         "training and used as the VALIDATION (checkpoint-"
+                         "selection) stream — a dev/test speaker split: "
+                         "selection sees unseen-speaker generalization while "
+                         "the test --holdout_ids stay untouched. Measured "
+                         "motive (fold 0 dense): held-out SI-SNRi peaks "
+                         "+0.55 dB at step 1550 then decays to -0.55 by 5000 "
+                         "while seen-speaker val keeps climbing — seen-val "
+                         "selection systematically picks overfit steps.")
     ap_args.add_argument("--encoder_grid", type=str, default=None,
                          help="restrict the GE2E ENCODER's training identities "
                          "to this pseudo-voice sub-grid while the mask net "
@@ -269,7 +279,25 @@ def main():
     # no zero-bed), so it must draw only from ≥3 s speakers even when
     # --allow_short widens the TRAIN pool — otherwise a short-speaker
     # draw exhausts the mixer's retries
-    val_speakers = {s: mixable[s] for s in train_speakers if s in mixable}
+    if args.val_holdout_ids:
+        val_ids = args.val_holdout_ids.split(",")
+        bad = [s for s in val_ids if s not in mixable]
+        if bad:
+            raise SystemExit(f"--val_holdout_ids not in mixable set: {bad}")
+        clash = set(val_ids) & set(eval_speakers)
+        if clash:
+            raise SystemExit(
+                f"--val_holdout_ids overlap the test holdout: {sorted(clash)}"
+            )
+        train_speakers = {
+            s: v for s, v in train_speakers.items()
+            if s.split("~")[0] not in set(val_ids)
+        }
+        val_speakers = {s: mixable[s] for s in val_ids}
+        print(f"val-holdout split: train {len(train_speakers)} / "
+              f"val-unseen {val_ids}", flush=True)
+    else:
+        val_speakers = {s: mixable[s] for s in train_speakers if s in mixable}
 
     c = Config()  # flagship: voicesplit + si_snr
     c.train_config.batch_size = args.batch_size
@@ -370,6 +398,8 @@ def main():
         enroll = dict(train_speakers)
         for s, v in eval_speakers.items():
             enroll.setdefault(s, v)
+        for s, v in val_speakers.items():
+            enroll.setdefault(s, v)  # no-op unless --val_holdout_ids
         for spk, paths in enroll.items():
             vs = [embed_utterance(enc, enc_params, ap, ap.load_wav(p))
                   for p in paths[:4]]
@@ -517,6 +547,8 @@ def main():
         + (f" +pitch[{args.pitch_semitones}]" if args.pitch_semitones else "")
         + (f" +vtlp[{args.vtlp_alphas}]" if args.vtlp_alphas else "")
         + (f" +enc_grid[{args.encoder_grid}]" if args.encoder_grid else "")
+        + (f" +val_holdout[{args.val_holdout_ids}]"
+           if args.val_holdout_ids else "")
         + (f" +emb_noise{args.emb_noise}" if args.emb_noise else "")
         + (" +allow_short" if args.allow_short else "")
         + (" warm_start" if args.warm_start else ""),
@@ -526,6 +558,11 @@ def main():
         "eval_protocol": (
             f"open-set: {args.holdout} held-out speakers" if args.holdout
             else "closed-set: unseen pairings/crops, same speakers"
+        ),
+        "val_protocol": (
+            f"val-unseen speakers {args.val_holdout_ids} (dev/test split)"
+            if args.val_holdout_ids
+            else "train speakers, disjoint mixing seed"
         ),
         "n_speakers": len(speakers),
         "steps": args.steps,
