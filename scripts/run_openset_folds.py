@@ -44,6 +44,10 @@ def main():
     p.add_argument("--steps", type=int, default=5000)
     p.add_argument("--ge2e_steps", type=int, default=3000)
     p.add_argument("--holdout_k", type=int, default=4)
+    p.add_argument("--val_k", type=int, default=0,
+                   help="if >0, pass the NEXT fold's first val_k speakers as "
+                   "--val_holdout_ids (dev/test split: checkpoint selection "
+                   "on unseen-but-not-test voices; rotates with the folds)")
     p.add_argument("--folds", type=int, default=4)
     p.add_argument("--out", default="logs/openset_r3")
     p.add_argument("--extra", default="",
@@ -73,6 +77,9 @@ def main():
             "--augment", "--speaker_augment", "--allow_short",
             "--out", out_dir,
         ] + shlex.split(args.extra)
+        if args.val_k:
+            nxt = ids[((i + 1) % n) * k:((i + 1) % n) * k + args.val_k]
+            cmd += ["--val_holdout_ids", ",".join(nxt)]
         print(f"\n=== fold {i}: holdout {fold_ids} ===\n{' '.join(cmd)}",
               flush=True)
         t0 = time.time()
@@ -96,6 +103,8 @@ def main():
             rows.append({
                 "fold": rp,
                 "holdout": rep.get("eval_protocol"),
+                "val_protocol": rep.get("val_protocol"),
+                "encoder_eer": rep.get("encoder_eer"),
                 "steps": rep.get("steps"),
                 "si_snri_at_best_val_db": rep.get("si_snri_at_best_val_db"),
                 "best_val_step": rep.get("best_val_step"),
