@@ -575,6 +575,11 @@ def main():
         "si_snri_at_best_val_db": best["si_snri_db"],
         "best_val_step": best["step"],
         "best_val_si_snri_db": best["val_si_snri_db"],
+        # diagnostic upper bound ONLY (selecting on it would leak the
+        # test speakers into checkpoint selection): the held-out curve's
+        # peak, vs what val-based selection actually captured
+        "si_snri_heldout_peak_db": max(p["si_snri_db"] for p in curve),
+        "heldout_peak_step": max(curve, key=lambda p: p["si_snri_db"])["step"],
         "curve": curve,
         "wall_s": round(dt, 1),
         "audio_s_per_s": round(B * c.audio.audio_len * args.steps / dt, 1),
