@@ -40,8 +40,18 @@ def run_one(batch: int, remat: bool) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
-    return {"error": " / ".join(tail)[-300:]}
+    # surface the REAL failure, not JAX's traceback-filtering
+    # boilerplate: scan all of stderr for the error line (an OOM's
+    # RESOURCE_EXHAUSTED sits well above the "JAX has removed its
+    # internal frames" tail that a last-3-lines capture records)
+    lines = [l.strip() for l in (out.stderr or out.stdout).splitlines()
+             if l.strip()]
+    keyed = [l for l in lines
+             if any(t in l for t in ("RESOURCE_EXHAUSTED", "Error:",
+                                     "error:", "Exception", "OOM"))
+             and "internal frames" not in l]
+    msg = keyed[-1] if keyed else (lines[-1] if lines else "no output")
+    return {"error": msg[-300:], "stderr_tail": " / ".join(lines[-3:])[-300:]}
 
 
 def main():

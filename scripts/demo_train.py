@@ -33,16 +33,19 @@ DEMO_CLEAN = "/root/reference/datasets/LibriSpeech/audios_demo/clean"
 DEMO_REFERENCE = "/root/reference/datasets/LibriSpeech/audios_demo/reference"
 
 
-def build_corpus(out_dir: str) -> str:
+def build_corpus(out_dir: str, corpus_dir: str | None = None) -> str:
     """``{clean,reference}/<spk>-<chap>-<utt>[-norm].wav`` →
-    ``corpus/<spk>/<file>.wav``.
+    ``corpus/<spk>/<file>.wav`` (or into ``corpus_dir`` when given — a
+    shared cache so fold campaigns reuse wav prep and pseudo-speaker
+    generation; split selection filters by id afterwards, so a cached
+    pseudo dir for a speaker some fold holds out is never drawn).
 
     ``reference/`` holds the demo's ENROLLMENT clips — a second distinct
     utterance for 10 of the 18 speakers (no new speakers).  Including
     them doubles those speakers' utterance diversity and, with the
     mixer's distinct-utterance-group enrollment rule, lets eval
     condition on a clip that is NOT the utterance being separated."""
-    corpus = os.path.join(out_dir, "corpus")
+    corpus = corpus_dir or os.path.join(out_dir, "corpus")
     os.makedirs(corpus, exist_ok=True)
     for src_dir in (DEMO_CLEAN, DEMO_REFERENCE):
         for f in sorted(os.listdir(src_dir)):
@@ -211,6 +214,18 @@ def main():
                          help="include speakers with <3 s utterances by placing "
                          "short sources in a zero bed (partial overlap); adds 5 "
                          "of the 18 demo speakers the strict rule excludes")
+    ap_args.add_argument("--dropout", type=float, default=0.0,
+                         help="mask-net dropout (LSTM input+output) — the "
+                         "round-3 measured overfit is mask-net-side (held-out "
+                         "curves regress while validation climbs); this and "
+                         "the two flags below are the regularization levers")
+    ap_args.add_argument("--weight_decay", type=float, default=0.0,
+                         help="AdamW decoupled weight decay on matmul kernels")
+    ap_args.add_argument("--spec_augment", type=str, default="",
+                         help="'T,F' max widths (frames, freq bins) for "
+                         "SpecAugment-style masking of the mask net's input "
+                         "spec, train only (e.g. '24,40'); the estimate "
+                         "still multiplies the clean mixture spec")
     ap_args.add_argument("--eval_batches", type=int, default=4,
                          help="held-out eval batches (B each) averaged per point")
     ap_args.add_argument("--warm_start", type=str, default=None,
@@ -218,12 +233,21 @@ def main():
                          "(train/checkpoint.py::bilstm_to_streaming_sd)")
     ap_args.add_argument("--save_checkpoint", action="store_true",
                          help="save a checkpoint at the end of the run")
+    ap_args.add_argument("--corpus_dir", default=None,
+                         help="shared corpus cache dir: wav copies and "
+                         "pseudo-speaker generation are reused across "
+                         "runs/folds (identity selection still respects each "
+                         "run's splits, so no cross-fold leakage)")
     ap_args.add_argument("--out", default="logs/demo_train")
     args = ap_args.parse_args()
 
     if args.holdout and args.emb == "pseudo":
         ap_args.error("--holdout needs --emb spectral|ge2e (pseudo d-vectors "
                       "are per-speaker identity tokens and cannot generalize)")
+    if args.val_holdout_ids and not (args.holdout or args.holdout_ids):
+        ap_args.error("--val_holdout_ids requires --holdout/--holdout_ids: "
+                      "closed-set eval draws from EVERY mixable speaker, so "
+                      "any val speaker would overlap the eval pool")
 
     import jax
     import jax.numpy as jnp
@@ -241,7 +265,7 @@ def main():
     )
 
     os.makedirs(args.out, exist_ok=True)
-    corpus = build_corpus(args.out)
+    corpus = build_corpus(args.out, args.corpus_dir)
     # mixable = ≥3 s after trim (strict reference rule); with
     # --allow_short the TRAIN pool additionally gets short-utterance
     # speakers (zero-bed placement), while held-out EVAL speakers are
@@ -306,6 +330,14 @@ def main():
     if args.lr_decay:
         c.train_config.lr_decay_steps = args.steps
     c.model.causal = args.causal
+    if args.dropout:
+        c.model.dropout = args.dropout
+    if args.weight_decay:
+        c.train_config.weight_decay = args.weight_decay
+    if args.spec_augment:
+        t_w, f_w = (int(v) for v in args.spec_augment.split(","))
+        c.train_config.spec_aug_time = t_w
+        c.train_config.spec_aug_freq = f_w
     ap = AudioProcessor(c.audio)
     # the reference-default lr=1e-2 plateaus from scratch at B=16 (loss
     # stuck ~20, grad_norm ~1e-17) — every recorded demo number used 1e-3
@@ -405,7 +437,7 @@ def main():
                   for p in paths[:4]]
             v = _np.mean(_np.stack(vs), axis=0)
             embeddings[spk] = (v / (_np.linalg.norm(v) + 1e-8)).astype(_np.float32)
-        from voicesplit_tpu.losses.ge2e import pairwise_eer
+        from voicesplit_tpu.losses.ge2e import pairwise_eer_stats
 
         utt_embs, utt_ids = [], []
         for spk, paths in enroll.items():
@@ -413,17 +445,43 @@ def main():
                 utt_embs.append(embed_utterance(enc, enc_params, ap, ap.load_wav(p)))
                 utt_ids.append(spk)
         utt_embs = _np.stack(utt_embs)
-        eer = pairwise_eer(utt_embs, utt_ids)
-        held = set(eval_speakers) - set(train_speakers)
-        unseen_idx = [i for i, s in enumerate(utt_ids) if s in held]
+
+        def eer_subset(which_ids):
+            idx = [i for i, s in enumerate(utt_ids) if s in which_ids]
+            if not idx or len(idx) == len(utt_ids):
+                return None, idx
+            st = pairwise_eer_stats(
+                utt_embs[idx], [utt_ids[i] for i in idx])
+            return st, idx
+
+        stats_all = pairwise_eer_stats(utt_embs, utt_ids)
         msg = (f"GE2E encoder: final loss {enc_losses[-1]:.3f}, "
-               f"all-identity pairwise EER {eer:.3f}")
-        encoder_eer = {"all_identity": round(float(eer), 4)}
-        if unseen_idx and len(unseen_idx) < len(utt_ids):
-            eer_unseen = pairwise_eer(
-                utt_embs[unseen_idx], [utt_ids[i] for i in unseen_idx])
-            msg += f", held-out-only EER {eer_unseen:.3f}"
-            encoder_eer["held_out_only"] = round(float(eer_unseen), 4)
+               f"all-identity pairwise EER {stats_all['eer']:.3f} "
+               f"(n_trials {stats_all['n_trials']}, "
+               f"95% CI {stats_all.get('ci95')})")
+        # scalar keys keep round-3 report compatibility; *_stats carry
+        # the trial counts + bootstrap CI an EER claim needs at this n
+        encoder_eer = {"all_identity": round(float(stats_all["eer"]), 4),
+                       "all_identity_stats": stats_all}
+        held = set(eval_speakers) - set(train_speakers)
+        stats_ho, unseen_idx = eer_subset(held)
+        if stats_ho is not None:
+            msg += (f", held-out-only EER {stats_ho['eer']:.3f} "
+                    f"(n_trials {stats_ho['n_trials']}, "
+                    f"95% CI {stats_ho.get('ci95')})")
+            encoder_eer["held_out_only"] = round(float(stats_ho["eer"]), 4)
+            encoder_eer["held_out_only_stats"] = stats_ho
+        # val-holdout speakers are equally unseen by the encoder: fold
+        # them in for the larger-n unseen estimate (test pool alone is
+        # ~4 speakers -> dozens of trials)
+        unseen_all = (set(eval_speakers) | set(val_speakers)) - set(train_speakers)
+        if unseen_all - held:
+            stats_un, _ = eer_subset(unseen_all)
+            if stats_un is not None:
+                msg += (f", unseen-incl-val EER {stats_un['eer']:.3f} "
+                        f"(n_trials {stats_un['n_trials']})")
+                encoder_eer["unseen_incl_val"] = round(float(stats_un["eer"]), 4)
+                encoder_eer["unseen_incl_val_stats"] = stats_un
         print(msg, flush=True)
         emb_mode_iter = "pseudo"  # dict hits take precedence; no fallback used
 
@@ -474,10 +532,12 @@ def main():
         {k: jax.device_put(v) for k, v in next(eval_it).items()}
         for _ in range(max(1, args.eval_batches))
     ]
-    # closed-set VALIDATION stream (train speakers, disjoint mixing seed):
-    # the model-selection criterion, exactly the reference's role for its
-    # VCTK dev set (`test_all_checkpoints.py`) — held-out speakers are
-    # never used to pick the step we report
+    # VALIDATION stream — the model-selection criterion.  Default:
+    # train speakers with a disjoint mixing seed (the reference's role
+    # for its VCTK dev set, `test_all_checkpoints.py`).  With
+    # --val_holdout_ids: a dev-speaker split — selection sees
+    # unseen-voice generalization while the TEST holdout stays
+    # untouched.  Either way the test speakers never pick the step.
     val_it = OnlineMixIterator(
         val_speakers, batch_size=B, sample_rate=ap.sample_rate,
         audio_len=c.audio.audio_len, seed=51423, items_per_epoch=256,
@@ -550,6 +610,9 @@ def main():
         + (f" +val_holdout[{args.val_holdout_ids}]"
            if args.val_holdout_ids else "")
         + (f" +emb_noise{args.emb_noise}" if args.emb_noise else "")
+        + (f" +dropout{args.dropout}" if args.dropout else "")
+        + (f" +wd{args.weight_decay}" if args.weight_decay else "")
+        + (f" +specaug[{args.spec_augment}]" if args.spec_augment else "")
         + (" +allow_short" if args.allow_short else "")
         + (" warm_start" if args.warm_start else ""),
         "emb_mode": args.emb,
@@ -570,8 +633,9 @@ def main():
         "si_snri_start_db": snri_0,
         "si_snri_end_db": curve[-1]["si_snri_db"],
         # the number to QUOTE: held-out SI-SNRi at the best-validation
-        # step (validation = train speakers, unseen mixing seed — the
-        # reference's checkpoint-selection protocol, never the test set)
+        # step (validation per val_protocol above: train speakers with
+        # an unseen mixing seed by default, or the --val_holdout_ids
+        # dev-speaker split — never the test set)
         "si_snri_at_best_val_db": best["si_snri_db"],
         "best_val_step": best["step"],
         "best_val_si_snri_db": best["val_si_snri_db"],

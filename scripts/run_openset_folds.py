@@ -7,9 +7,12 @@ and aggregates the per-fold reports into one across-fold table via
 `scripts/openset_report.py` plus a machine-readable summary JSON.
 
 The quoted number per fold is held-out SI-SNRi at the best-VALIDATION
-step (validation = train speakers, disjoint mixing seed — the
-reference's checkpoint-selection protocol); the campaign headline is
-the across-fold mean of that number.
+step.  Validation defaults to train speakers with a disjoint mixing
+seed (the reference's checkpoint-selection protocol); with ``--val_k``
+each fold instead selects on a dev-speaker split (the next fold's
+first ``val_k`` speakers, excluded from training — unseen-but-not-test
+voices).  The campaign headline is the across-fold mean of that
+number.
 
 Usage:
   python scripts/run_openset_folds.py --steps 5000 [--folds 4]
@@ -54,8 +57,17 @@ def main():
                    help="extra demo_train args appended verbatim, e.g. "
                    "'--pitch_semitones -2,2 --vtlp_alphas 0.9,1.1 "
                    "--emb_noise 0.05'")
+    p.add_argument("--corpus_dir", default=None,
+                   help="shared corpus cache passed to demo_train "
+                   "(pseudo-speaker wav generation runs once, not per fold)")
     p.add_argument("--timeout", type=int, default=7200, help="per fold, s")
     args = p.parse_args()
+
+    if args.val_k > args.holdout_k:
+        raise SystemExit(
+            f"--val_k {args.val_k} > --holdout_k {args.holdout_k}: val ids "
+            "are drawn from the NEXT fold's holdout block and would spill "
+            "into the fold after it")
 
     ids = mixable_ids()
     k, n = args.holdout_k, args.folds
@@ -77,8 +89,11 @@ def main():
             "--augment", "--speaker_augment", "--allow_short",
             "--out", out_dir,
         ] + shlex.split(args.extra)
+        if args.corpus_dir:
+            cmd += ["--corpus_dir", args.corpus_dir]
         if args.val_k:
             nxt = ids[((i + 1) % n) * k:((i + 1) % n) * k + args.val_k]
+            assert len(nxt) == args.val_k, (nxt, args.val_k)
             cmd += ["--val_holdout_ids", ",".join(nxt)]
         print(f"\n=== fold {i}: holdout {fold_ids} ===\n{' '.join(cmd)}",
               flush=True)
@@ -118,7 +133,9 @@ def main():
         summary = {
             "n_folds": len(reports),
             "holdout_k": k,
+            "val_k": args.val_k,
             "steps": args.steps,
+            "ge2e_steps": args.ge2e_steps,
             "extra": args.extra,
             "mean_si_snri_at_best_val_db": (
                 sum(vals) / len(vals) if vals else None

@@ -59,6 +59,7 @@ def check(name: str):
             print(f"[{'PASS' if ok else 'FAIL'}] {name}  {detail}", flush=True)
             return ok
 
+        run.check_name = name
         return run
 
     return deco
@@ -342,10 +343,22 @@ def check_train_step():
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--json", default=None, help="also write results to this path")
+    p.add_argument("--only", default=None,
+                   help="comma-separated check names to run (e.g. "
+                   "'backend,train_step') — re-verify a single drifted "
+                   "path without paying all six compiles")
     args = p.parse_args()
 
     checks = [check_backend, check_pallas_lstm, check_folded_conv,
               check_streaming, check_export_streaming, check_train_step]
+    if args.only:
+        want = {w.strip() for w in args.only.split(",")}
+        names = {fn.check_name for fn in checks}
+        unknown = want - names
+        if unknown:
+            raise SystemExit(f"--only: unknown checks {sorted(unknown)} "
+                             f"(available: {sorted(names)})")
+        checks = [fn for fn in checks if fn.check_name in want]
     ok = all([fn() for fn in checks])
     summary = {"ok": ok, "checks": RESULTS}
     print(json.dumps({"tpu_smoke_ok": ok}), flush=True)

@@ -1,0 +1,196 @@
+"""Dev/test checkpoint-selection split path of `scripts/demo_train.py`
+(round-3 VERDICT item 6: the --val_holdout_ids machinery must be tested
+before a campaign relies on it) plus the EER-claim statistics
+(`losses/ge2e.py::pairwise_eer_stats`, VERDICT item 3).
+
+The end-to-end case runs demo_train.main() for real on a shrunken model
+and an 8-speaker sub-corpus of the reference demo audios, and asserts:
+(a) the clash/closed-set guards fire, (b) `val_protocol` and
+`encoder_eer` (with trial counts + bootstrap CI) land in report.json,
+(c) the VALIDATION iterator is built on exactly the --val_holdout_ids
+speakers — not on train speakers — and those speakers are excluded from
+training.
+"""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from voicesplit_tpu.losses.ge2e import pairwise_eer, pairwise_eer_stats  # noqa: E402
+
+DEMO_CLEAN = "/root/reference/datasets/LibriSpeech/audios_demo/clean"
+DEMO_REFERENCE = "/root/reference/datasets/LibriSpeech/audios_demo/reference"
+# 8 of the 16 speakers known to survive the >=3 s-after-trim rule
+# (the rotating-fold campaign ids, docs/openset_folds_r3.json)
+SPK = ["1585", "1701", "1988", "2078", "251", "2902", "3081", "3170"]
+
+needs_demo_audio = pytest.mark.skipif(
+    not os.path.isdir(DEMO_CLEAN), reason="reference demo audios not present"
+)
+
+
+# ---------------------------------------------------------------- EER stats
+
+
+def test_pairwise_eer_stats_matches_eer_and_counts(rng):
+    ids = np.repeat(np.arange(6), 4)  # 6 speakers x 4 utts
+    centers = rng.normal(size=(6, 16))
+    emb = centers[ids] + 0.1 * rng.normal(size=(24, 16))
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+
+    st = pairwise_eer_stats(emb, ids, n_boot=200, seed=1)
+    assert st["eer"] == pytest.approx(pairwise_eer(emb, ids))
+    assert st["n_utts"] == 24
+    assert st["n_trials"] == 24 * 23 // 2
+    assert st["n_target"] == 6 * (4 * 3 // 2)
+    assert st["n_target"] + st["n_nontarget"] == st["n_trials"]
+    lo, hi = st["ci95"]
+    assert 0.0 <= lo <= hi <= 1.0
+    assert st["n_boot"] > 0
+
+
+def test_pairwise_eer_stats_ci_wide_at_tiny_n(rng):
+    # 3 speakers x 2 utts: 15 trials — a 0.0 point estimate must come
+    # with a CI that reflects how little evidence that is
+    ids = np.repeat(np.arange(3), 2)
+    centers = rng.normal(size=(3, 8))
+    emb = centers[ids] + 0.01 * rng.normal(size=(6, 8))
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    st = pairwise_eer_stats(emb, ids, n_boot=300, seed=2)
+    assert st["n_trials"] == 15
+    assert "ci95" in st
+
+
+# ------------------------------------------------------------ cheap guards
+
+
+def _demo_main(argv, monkeypatch):
+    import scripts.demo_train as dt
+
+    monkeypatch.setattr(sys, "argv", ["demo_train.py"] + argv)
+    dt.main()
+
+
+def test_val_holdout_requires_open_set(monkeypatch, tmp_path, capsys):
+    # closed-set eval draws from every mixable speaker, so any
+    # --val_holdout_ids choice would overlap it; the guard must say
+    # what is actually wrong (round-3 ADVICE item 1)
+    with pytest.raises(SystemExit):
+        _demo_main(["--val_holdout_ids", "251,2902", "--emb", "ge2e",
+                    "--out", str(tmp_path / "run")], monkeypatch)
+    err = capsys.readouterr().err
+    assert "requires --holdout" in err
+
+
+@needs_demo_audio
+def test_val_holdout_clash_guard(monkeypatch, tmp_path, capsys):
+    _make_subcorpus(monkeypatch, tmp_path)
+    with pytest.raises(SystemExit) as ei:
+        _demo_main(["--emb", "ge2e",
+                    "--holdout_ids", "251,2902",
+                    "--val_holdout_ids", "2902,3081",
+                    "--out", str(tmp_path / "run")], monkeypatch)
+    assert "overlap the test holdout" in str(ei.value)
+
+
+def test_run_openset_folds_rejects_oversized_val_k(monkeypatch):
+    import scripts.run_openset_folds as rof
+
+    monkeypatch.setattr(sys, "argv",
+                        ["run_openset_folds.py", "--val_k", "5",
+                         "--holdout_k", "4"])
+    with pytest.raises(SystemExit) as ei:
+        rof.main()
+    assert "--val_k 5 > --holdout_k 4" in str(ei.value)
+
+
+# ------------------------------------------------- end-to-end tiny val run
+
+
+def _make_subcorpus(monkeypatch, tmp_path):
+    """Point demo_train at an 8-speaker subset of the demo audios."""
+    import scripts.demo_train as dt
+
+    clean = tmp_path / "clean"
+    ref = tmp_path / "reference"
+    clean.mkdir(exist_ok=True)
+    ref.mkdir(exist_ok=True)
+    for src, dst in ((DEMO_CLEAN, clean), (DEMO_REFERENCE, ref)):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".wav") and f.split("-")[0] in SPK:
+                shutil.copyfile(os.path.join(src, f), dst / f)
+    monkeypatch.setattr(dt, "DEMO_CLEAN", str(clean))
+    monkeypatch.setattr(dt, "DEMO_REFERENCE", str(ref))
+
+
+@needs_demo_audio
+def test_valsplit_end_to_end_tiny(monkeypatch, tmp_path):
+    import voicesplit_tpu.config as vcfg
+    import voicesplit_tpu.data.online as online
+
+    _make_subcorpus(monkeypatch, tmp_path)
+
+    real_config = vcfg.Config
+
+    def tiny_config():
+        c = real_config()
+        c.model.lstm_dim = 16
+        c.model.conv_channels = 4
+        c.model.conv_out_channels = 2
+        c.model.emb_dim = 16
+        return c
+
+    monkeypatch.setattr(vcfg, "Config", tiny_config)
+
+    pools = []  # speaker-id sets per iterator construction (train/eval/val)
+    real_iter = online.OnlineMixIterator
+
+    class RecordingIterator(real_iter):
+        def __init__(self, speakers, **kw):
+            pools.append(sorted(speakers))
+            super().__init__(speakers, **kw)
+
+    monkeypatch.setattr(online, "OnlineMixIterator", RecordingIterator)
+
+    out = tmp_path / "run"
+    _demo_main([
+        "--steps", "2", "--batch_size", "2", "--eval_batches", "1",
+        "--emb", "ge2e", "--ge2e_steps", "2", "--lr", "1e-3",
+        "--holdout_ids", "251,2902",
+        "--val_holdout_ids", "3081,3170",
+        "--out", str(out),
+    ], monkeypatch)
+
+    # (c) iterator wiring: train excludes val+test ids; eval == test
+    # ids; the VALIDATION stream is exactly the --val_holdout_ids
+    assert len(pools) == 3, pools
+    train_pool, eval_pool, val_pool = pools
+    assert eval_pool == ["251", "2902"]
+    assert val_pool == ["3081", "3170"]
+    train_bases = {s.split("~")[0] for s in train_pool}
+    assert train_bases.isdisjoint({"251", "2902", "3081", "3170"})
+    assert train_bases  # non-empty
+
+    # (b) report fields
+    rep = json.load(open(out / "report.json"))
+    assert rep["val_protocol"].startswith("val-unseen speakers")
+    assert "3081,3170" in rep["val_protocol"]
+    ee = rep["encoder_eer"]
+    assert set(ee) >= {"all_identity", "all_identity_stats",
+                       "held_out_only", "held_out_only_stats",
+                       "unseen_incl_val", "unseen_incl_val_stats"}
+    for key in ("all_identity_stats", "held_out_only_stats",
+                "unseen_incl_val_stats"):
+        st = ee[key]
+        assert st["n_trials"] > 0 and "ci95" in st
+    # held-out pool = 2 test speakers; incl-val adds the 2 val speakers
+    assert ee["unseen_incl_val_stats"]["n_utts"] > ee["held_out_only_stats"]["n_utts"]
+    assert rep["best_val_step"] in (1, 2)
+    assert np.isfinite(rep["si_snri_at_best_val_db"])

@@ -128,6 +128,13 @@ class TrainConfig:
     lr_decay_steps: Optional[int] = None  # cosine-decay horizon (constant
     # lr, the reference behavior, when None)
     lr_decay_alpha: float = 0.05  # final lr fraction of the peak
+    weight_decay: float = 0.0  # AdamW decoupled weight decay on matmul
+    # kernels (bias/BN-scale excluded); 0 = plain Adam (the reference)
+    spec_aug_time: int = 0  # SpecAugment-style input masking of the
+    spec_aug_freq: int = 0  # MIXED spec (train only): max mask width in
+    spec_aug_n: int = 2  # frames / freq bins, masks per axis.  The mask
+    # net sees the corrupted spec; the estimate still multiplies the
+    # CLEAN mixture spec (input corruption, not target corruption).
     data_axis: str = "data"  # mesh axis for data parallelism
     model_axis: str = "model"  # mesh axis for model parallelism (wide variant)
 
@@ -160,6 +167,9 @@ class ModelConfig:
     num_extra_dilated_blocks: int = 0  # deeper stack for the wide variant
     causal: bool = False  # causal (left-only-context) conv stack for
     # zero-lookahead streaming; train with it on for streaming deployment
+    dropout: float = 0.0  # train-time dropout on the LSTM input features
+    # and the LSTM output (0 = reference behavior; no dropout params, so
+    # checkpoints are unchanged either way)
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":

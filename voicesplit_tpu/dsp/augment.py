@@ -136,3 +136,47 @@ def vtlp(wav: np.ndarray, sample_rate: int, alpha: float,
     phase = np.angle(spec)
     m = (1.0 - frac) * mag[lo] + frac * mag[hi]
     return _istft(m * np.exp(1j * phase), wav.shape[0])
+
+
+# --------------------------------------------------------------------------
+# Train-time (on-device) input corruption — the mask-net-side overfit lever.
+# Unlike the host-side pseudo-speaker synthesis above, this runs INSIDE the
+# jitted train step, so it is written in jax with static shapes.
+
+
+def spec_time_freq_mask(spec, key, max_time: int = 0, max_freq: int = 0,
+                        n_masks: int = 2):
+    """SpecAugment-style time/frequency masking (Park et al. 2019,
+    arXiv:1904.08779) of a normalized magnitude spectrogram batch.
+
+    ``spec [B, T, F]``; per item, ``n_masks`` random bands per active
+    axis with widths uniform in [0, max_*] are zeroed (zero = the dB
+    floor of the [0, 1]-normalized spec).  Static shapes throughout —
+    widths/starts are data, not shapes, so XLA compiles this once.  The
+    train step feeds the CORRUPTED spec to the mask net but multiplies
+    the predicted mask with the CLEAN mixture spec (input corruption
+    only; the target is untouched — `train/steps.py`).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, T, F = spec.shape
+
+    def mask_axis(s, k, length, max_w, axis):
+        k1, k2 = jax.random.split(k)
+        w = jax.random.randint(k1, (B, n_masks), 0, max_w + 1)
+        start = jax.random.randint(k2, (B, n_masks), 0,
+                                   jnp.maximum(length - w, 1))
+        idx = jnp.arange(length)[None, None, :]
+        hit = (idx >= start[..., None]) & (idx < (start + w)[..., None])
+        keep = ~jnp.any(hit, axis=1)  # [B, length]
+        shape = [B, 1, 1]
+        shape[axis] = length
+        return s * keep.reshape(shape).astype(s.dtype)
+
+    kt, kf = jax.random.split(key)
+    if max_time:
+        spec = mask_axis(spec, kt, T, int(max_time), 1)
+    if max_freq:
+        spec = mask_axis(spec, kf, F, int(max_freq), 2)
+    return spec

@@ -309,6 +309,8 @@ class MaskNet(nn.Module):
     num_extra_dilated_blocks: int = 0
     streaming: bool = False
     causal: bool = False  # left-only conv context (zero-lookahead streaming)
+    dropout: float = 0.0  # train-time dropout (LSTM input + output); the
+    # reference has none — this is the tiny-corpus overfit lever
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
 
@@ -376,6 +378,9 @@ class MaskNet(nn.Module):
                             param_dtype=self.param_dtype, name="fc1")
         self.fc2 = nn.Dense(self.fc2_dim, dtype=self.compute_dtype,
                             param_dtype=self.param_dtype, name="fc2")
+        # parameter-free; rate 0 (the default) never requests an rng, so
+        # existing callers/checkpoints see identical behavior
+        self.drop = nn.Dropout(rate=self.dropout)
 
     def _use_fused_chain(self, train: bool) -> bool:
         """Fused Pallas conv chain (`ops/conv_fused.py`): train-mode,
@@ -511,12 +516,14 @@ class MaskNet(nn.Module):
         cd = self.compute_dtype
         emb_t = jnp.broadcast_to(emb.astype(cd)[:, None, :], (B, T, self.emb_dim))
         x = jnp.concatenate([features, emb_t], axis=-1)  # [B, T, 8F + emb]
+        x = self.drop(x, deterministic=not train)
         if self.streaming:
             x, carry = self.lstm(x, lstm_carry)
         else:
             x = self.lstm(x)
             carry = None
         x = nn.relu(x)  # post-LSTM ReLU kept in both reference models (`:84`)
+        x = self.drop(x, deterministic=not train)
         x = nn.relu(self.fc1(x))
         mask = jax.nn.sigmoid(self.fc2(x).astype(jnp.float32))  # fp32 [B, T, F]
         if self.streaming:
@@ -554,5 +561,6 @@ def make_masknet(config: Config, streaming: bool = False) -> MaskNet:
         num_extra_dilated_blocks=m.num_extra_dilated_blocks,
         streaming=streaming,
         causal=m.causal,
+        dropout=m.dropout,
         compute_dtype=dtype,
     )

@@ -38,10 +38,31 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
         lr = optax.cosine_decay_schedule(
             tc.learning_rate, tc.lr_decay_steps, alpha=tc.lr_decay_alpha
         )
-    tx = optax.adam(lr)
+    if tc.weight_decay:
+        # decoupled weight decay on matmul kernels only: decaying BN
+        # scale/bias or biases regularizes nothing useful and skews the
+        # normalization statistics
+        tx = optax.adamw(lr, weight_decay=tc.weight_decay, mask=_decay_mask)
+    else:
+        tx = optax.adam(lr)
     if tc.grad_clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), tx)
     return tx
+
+
+def _decay_mask(params):
+    """True for weight-matrix leaves (kernel/Dense/LSTM weights), False
+    for biases and BatchNorm scale — the standard AdamW exclusion."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params)
+
+    def is_vector(name: str) -> bool:
+        # bias / BatchNorm scale+bias / LSTM gate biases (fwd_b, bwd_b)
+        return (name.endswith("bias") or name == "scale" or name == "b"
+                or name.endswith("_b"))
+
+    return tu.unflatten_dict({k: not is_vector(k[-1]) for k in flat})
 
 
 def create_train_state(

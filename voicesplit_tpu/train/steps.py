@@ -121,18 +121,42 @@ def _train_step_body(
     ap: AudioProcessor,
     tx: optax.GradientTransformation,
 ):
-    def loss_fn(params, batch_stats, batch):
+    tc = config.train_config
+    sa_time, sa_freq, sa_n = tc.spec_aug_time, tc.spec_aug_freq, tc.spec_aug_n
+    dropout = config.model.dropout
+
+    def loss_fn(params, batch_stats, batch, step):
         mixed_spec, mixed_phase = ap.wav2spec_batch(batch["mixed_wav"])
         target_spec, _ = ap.wav2spec_batch(batch["target_wav"])
+        # train-time regularization rngs are derived from the step
+        # counter (traced data, so one compilation serves all steps) —
+        # no batch-schema change, deterministic given the run
+        net_in = mixed_spec
+        if sa_time or sa_freq:
+            from voicesplit_tpu.dsp.augment import spec_time_freq_mask
+
+            net_in = spec_time_freq_mask(
+                mixed_spec,
+                jax.random.fold_in(jax.random.PRNGKey(0x5A), step),
+                sa_time, sa_freq, sa_n,
+            )
+        apply_kwargs = {}
+        if dropout:
+            apply_kwargs["rngs"] = {
+                "dropout": jax.random.fold_in(jax.random.PRNGKey(0xD0), step)
+            }
         mask, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            mixed_spec,
+            net_in,
             batch["emb"],
             train=True,
             mutable=["batch_stats"],
+            **apply_kwargs,
         )
         if isinstance(mask, tuple):  # streaming model: (mask, lstm_carry)
             mask = mask[0]
+        # the estimate always multiplies the CLEAN mixture spec —
+        # SpecAugment corrupts the mask net's INPUT, not the signal path
         output = mask * mixed_spec
         loss = _loss_from_outputs(
             config, ap, output, target_spec, mixed_phase, batch["wav_len"]
@@ -141,7 +165,7 @@ def _train_step_body(
 
     def train_step(state: TrainState, batch):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, state.step
         )
         grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
