@@ -292,7 +292,15 @@ def main():
                                  f"(mixable: {mix_ids})")
         else:
             eval_ids = mix_ids[-args.holdout:]
-        train_speakers = {s: v for s, v in speakers.items() if s not in eval_ids}
+        # filter by BASE id: with a shared --corpus_dir the discovery can
+        # see pseudo-speaker dirs (spk~tag) cached by a previous fold for
+        # a speaker THIS run holds out — those are warped copies of the
+        # held-out voice and must never reach the train pool
+        eval_base = set(eval_ids)
+        train_speakers = {
+            s: v for s, v in speakers.items()
+            if s.split("~")[0] not in eval_base
+        }
         eval_speakers = {s: mixable[s] for s in eval_ids}
         print(f"open-set split: train {len(train_speakers)} / "
               f"held-out {eval_ids}", flush=True)

@@ -131,6 +131,63 @@ def _make_subcorpus(monkeypatch, tmp_path):
 
 
 @needs_demo_audio
+def test_cached_pseudo_dirs_of_holdouts_never_train(monkeypatch, tmp_path):
+    """A shared --corpus_dir can contain pseudo-speaker dirs (spk~tag)
+    cached by a PREVIOUS fold for a speaker this run holds out; they are
+    warped copies of the held-out voice and must be excluded from the
+    train pool even without --speaker_augment's base-id rebuild."""
+    import voicesplit_tpu.config as vcfg
+    import voicesplit_tpu.data.online as online
+
+    _make_subcorpus(monkeypatch, tmp_path)
+    corpus = tmp_path / "corpus_cache"
+    corpus.mkdir()
+    # pre-seed the cache with a pseudo dir for the future holdout 251
+    # (as an earlier fold that TRAINED on 251 would have left behind)
+    src = tmp_path / "clean"
+    leak = corpus / "251~s+2.0"
+    leak.mkdir()
+    for f in os.listdir(src):
+        if f.startswith("251-"):
+            shutil.copyfile(src / f, leak / f)
+
+    real_config = vcfg.Config
+
+    def tiny_config():
+        c = real_config()
+        c.model.lstm_dim = 16
+        c.model.conv_channels = 4
+        c.model.conv_out_channels = 2
+        # emb_dim stays 256: spectral d-vectors are fixed-width
+        return c
+
+    monkeypatch.setattr(vcfg, "Config", tiny_config)
+
+    pools = []
+    real_iter = online.OnlineMixIterator
+
+    class RecordingIterator(real_iter):
+        def __init__(self, speakers, **kw):
+            pools.append(sorted(speakers))
+            super().__init__(speakers, **kw)
+
+    monkeypatch.setattr(online, "OnlineMixIterator", RecordingIterator)
+
+    _demo_main([
+        "--steps", "1", "--batch_size", "2", "--eval_batches", "1",
+        "--emb", "spectral",  # no GE2E training: keeps the test fast
+        "--holdout_ids", "251,2902",
+        "--corpus_dir", str(corpus),
+        "--out", str(tmp_path / "run"),
+    ], monkeypatch)
+
+    train_pool = pools[0]
+    train_bases = {s.split("~")[0] for s in train_pool}
+    assert "251" not in train_bases, train_pool
+    assert "251~s+2.0" not in train_pool
+
+
+@needs_demo_audio
 def test_valsplit_end_to_end_tiny(monkeypatch, tmp_path):
     import voicesplit_tpu.config as vcfg
     import voicesplit_tpu.data.online as online
