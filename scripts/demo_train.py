@@ -312,6 +312,14 @@ def main():
     # --allow_short widens the TRAIN pool — otherwise a short-speaker
     # draw exhausts the mixer's retries
     if args.val_holdout_ids:
+        if not args.holdout:
+            # closed-set eval_speakers is the whole mixable pool, so the
+            # clash check below would always fire with a misleading
+            # "overlap the test holdout" message — name the real problem
+            raise SystemExit(
+                "--val_holdout_ids requires --holdout/--holdout_ids: a "
+                "dev-speaker selection split only makes sense against an "
+                "open-set test holdout")
         val_ids = args.val_holdout_ids.split(",")
         bad = [s for s in val_ids if s not in mixable]
         if bad:
