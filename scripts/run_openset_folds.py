@@ -104,54 +104,64 @@ def main():
         rp = os.path.join(out_dir, "report.json")
         if r.returncode == 0 and os.path.exists(rp):
             reports.append(rp)
+            # write the summary INCREMENTALLY: a campaign killed between
+            # folds (session timeout, preemption) keeps every completed
+            # fold's aggregate on disk — losing an entire campaign to a
+            # missed final write is the round-4 failure mode this guards
+            write_summary(reports, args, k)
 
     if reports:
         subprocess.run(
             [sys.executable, os.path.join(HERE, "openset_report.py")] + reports,
             cwd=REPO,
         )
-        vals = []
-        rows = []
-        for rp in reports:
-            with open(rp) as f:
-                rep = json.load(f)
-            rows.append({
-                "fold": rp,
-                "holdout": rep.get("eval_protocol"),
-                "val_protocol": rep.get("val_protocol"),
-                "encoder_eer": rep.get("encoder_eer"),
-                "steps": rep.get("steps"),
-                "si_snri_at_best_val_db": rep.get("si_snri_at_best_val_db"),
-                "best_val_step": rep.get("best_val_step"),
-                "si_snri_end_db": rep.get("si_snri_end_db"),
-                "si_snri_start_db": rep.get("si_snri_start_db"),
-                "config": rep.get("config"),
-            })
-            v = rep.get("si_snri_at_best_val_db")
-            if v is not None:
-                vals.append(v)
-        summary = {
-            "n_folds": len(reports),
-            "holdout_k": k,
-            "val_k": args.val_k,
-            "steps": args.steps,
-            "ge2e_steps": args.ge2e_steps,
-            "extra": args.extra,
-            "mean_si_snri_at_best_val_db": (
-                sum(vals) / len(vals) if vals else None
-            ),
-            "folds": rows,
-        }
-        # summary file is named after the campaign's --out dir so two
-        # campaigns (e.g. sparse vs dense pseudo-voice grids) never
-        # overwrite each other's record
-        out_json = os.path.join(
-            REPO, "docs", f"{os.path.basename(args.out.rstrip('/'))}_folds.json"
-        )
-        with open(out_json, "w") as f:
-            json.dump(summary, f, indent=2)
+        summary, out_json = write_summary(reports, args, k)
         print(f"\nsummary -> {out_json}")
         print(json.dumps({k: v for k, v in summary.items() if k != "folds"}))
+
+
+def write_summary(reports, args, k):
+    vals = []
+    rows = []
+    for rp in reports:
+        with open(rp) as f:
+            rep = json.load(f)
+        rows.append({
+            "fold": rp,
+            "holdout": rep.get("eval_protocol"),
+            "val_protocol": rep.get("val_protocol"),
+            "encoder_eer": rep.get("encoder_eer"),
+            "steps": rep.get("steps"),
+            "si_snri_at_best_val_db": rep.get("si_snri_at_best_val_db"),
+            "best_val_step": rep.get("best_val_step"),
+            "si_snri_end_db": rep.get("si_snri_end_db"),
+            "si_snri_start_db": rep.get("si_snri_start_db"),
+            "config": rep.get("config"),
+        })
+        v = rep.get("si_snri_at_best_val_db")
+        if v is not None:
+            vals.append(v)
+    summary = {
+        "n_folds": len(reports),
+        "holdout_k": k,
+        "val_k": args.val_k,
+        "steps": args.steps,
+        "ge2e_steps": args.ge2e_steps,
+        "extra": args.extra,
+        "mean_si_snri_at_best_val_db": (
+            sum(vals) / len(vals) if vals else None
+        ),
+        "folds": rows,
+    }
+    # summary file is named after the campaign's --out dir so two
+    # campaigns (e.g. sparse vs dense pseudo-voice grids) never
+    # overwrite each other's record
+    out_json = os.path.join(
+        REPO, "docs", f"{os.path.basename(args.out.rstrip('/'))}_folds.json"
+    )
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary, out_json
 
 
 if __name__ == "__main__":
