@@ -1,21 +1,25 @@
 """Round-4 regularization / encoder-grid probes (VERDICT r3 item 2).
 
-Three single-fold probes against the r4 flagship campaign as control
-(identical splits, seeds, dense pseudo-voice grid, --val_k dev-speaker
-selection — so curves are point-for-point comparable):
+Three single-fold probes against the committed r4 flagship campaign as
+control (identical splits, seeds, corpus cache, dense mask-net grid,
+SPARSE encoder grid, --val_k dev-speaker selection — so curves are
+point-for-point comparable; campaign: logs/openset_r4,
+docs/openset_r4_folds.json):
 
 - fold1+dropout:   mask-net dropout 0.3 — the "plain regularizer" arm
 - fold1+specaug:   SpecAugment input masking (24 frames, 40 bins) — the
                    "mixture-level corruption" arm
-- fold0+encgrid:   dense mask-net grid but SPARSE encoder grid
-                   (pitch ±2, vtlp 0.95/1.05, speed 0.9/1.1) — attacks
-                   the measured fold-0 encoder EER 0.178 (r4 campaign)
-                   vs 0.022 (r3 sparse)
+- fold0+dense_enc: the campaign recipe WITHOUT --encoder_grid, i.e. the
+                   encoder trains on the full dense pseudo-voice pool —
+                   the attribution arm for the sparse-encoder-grid
+                   choice (an uncommitted r4 session observed the dense
+                   grid degrading fold 0's encoder held-out EER;
+                   committed evidence is r3's 0.022-sparse vs
+                   0.200-dense fold-0 A/B)
 
-Probes run fewer steps than the campaign (--steps, default 8000): the
-r3/r4 overfit signature (held-out curve peaks early then regresses)
-shows well inside 8k, and the campaign control's curve can be truncated
-to the same horizon for comparison.
+Probes run fewer steps than the campaign (--steps, default 6000 to
+match it): the r3 overfit signature (held-out curve peaks early then
+regresses) shows well inside that horizon.
 
 Usage: python scripts/run_reg_probes.py [--steps 8000] [--only a,b,...]
 """
@@ -37,24 +41,28 @@ REPO = os.path.dirname(HERE)
 FOLD0 = dict(holdout="1585,1701,1988,2078", val="251,2902")
 FOLD1 = dict(holdout="251,2902,3081,3170", val="3576,4153")
 
+# mirrors the committed campaign's per-fold demo_train invocation
+# (scripts/run_openset_folds.py + the r4 --extra), sparse encoder grid
+# included — each probe then changes exactly one lever
 BASE = [
-    "--ge2e_steps", "3000", "--emb", "ge2e", "--lr", "1e-3", "--lr_decay",
+    "--ge2e_steps", "2500", "--emb", "ge2e", "--lr", "1e-3", "--lr_decay",
     "--augment", "--speaker_augment", "--allow_short",
     "--pitch_semitones=-4,-2,2,4", "--vtlp_alphas", "0.85,0.95,1.05,1.15",
+    "--encoder_grid", "pitch:-2,2;vtlp:0.95,1.05;speed:0.9,1.1",
     "--corpus_dir", "logs/openset_r4/corpus_cache",
 ]
 
 PROBES = {
     "fold1_dropout": FOLD1 | {"extra": ["--dropout", "0.3"]},
     "fold1_specaug": FOLD1 | {"extra": ["--spec_augment", "24,40"]},
-    "fold0_encgrid": FOLD0 | {"extra": [
-        "--encoder_grid", "pitch:-2,2;vtlp:0.95,1.05;speed:0.9,1.1"]},
+    # drop the sparse encoder grid -> encoder trains on the dense pool
+    "fold0_dense_enc": FOLD0 | {"drop": ["--encoder_grid"], "extra": []},
 }
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=8000)
+    p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--only", default=None,
                    help="comma-separated probe names (default: all)")
     p.add_argument("--out", default="logs/reg_probes_r4")
@@ -73,13 +81,17 @@ def main():
     for name in names:
         spec = PROBES[name]
         out_dir = os.path.join(args.out, name)
+        base = list(BASE)
+        for flag in spec.get("drop", ()):  # remove flag + its value
+            i = base.index(flag)
+            del base[i:i + 2]
         cmd = [
             sys.executable, os.path.join(HERE, "demo_train.py"),
             "--steps", str(args.steps),
             "--holdout_ids", spec["holdout"],
             "--val_holdout_ids", spec["val"],
             "--out", out_dir,
-        ] + BASE + spec["extra"]
+        ] + base + spec["extra"]
         print(f"\n=== {name}: {' '.join(cmd)}", flush=True)
         t0 = time.time()
         r = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
