@@ -498,6 +498,56 @@ def main():
                         f"(n_trials {stats_un['n_trials']})")
                 encoder_eer["unseen_incl_val"] = round(float(stats_un["eer"]), 4)
                 encoder_eer["unseen_incl_val_stats"] = stats_un
+
+        # POWERED unseen-speaker EER (round-4 weak #4: the whole-
+        # utterance pools give ~40-60 trials, CI [0.00, 0.42] — too
+        # underpowered to steer).  Score NON-OVERLAPPING encoder
+        # windows (0.8 s each) of every unseen utterance instead of
+        # one mean d-vector per utterance: same material, ~30× the
+        # trials.  Honesty guards: only cross-recording pairs count as
+        # trials, and the bootstrap CI clusters by source recording
+        # (windows of one recording are correlated) — see
+        # pairwise_eer_stats(groups=...).
+        from voicesplit_tpu.train.encoder import embed_utterance_windows
+
+        def eer_windows(which_ids):
+            embs, spk_ids, grp = [], [], []
+            for spk in sorted(which_ids):
+                for p in enroll[spk]:
+                    w = embed_utterance_windows(
+                        enc, enc_params, ap, ap.load_wav(p), stride=enc.window)
+                    embs.append(w)
+                    spk_ids += [spk] * len(w)
+                    # cluster by BASE recording — x.wav and x-norm.wav
+                    # are the same capture (the mixer groups them too,
+                    # data/online.py), so they must share a cluster or
+                    # near-duplicate trials would pose as independent
+                    b = os.path.splitext(os.path.basename(p))[0]
+                    if b.endswith("-norm"):
+                        b = b[: -len("-norm")]
+                    grp += [b] * len(w)
+            if len(set(spk_ids)) < 2:
+                return None
+            return pairwise_eer_stats(_np.concatenate(embs), spk_ids, groups=grp)
+
+        if held:
+            stats_how = eer_windows(held)
+            if stats_how is not None:
+                msg += (f"\n  powered held-out window EER "
+                        f"{stats_how['eer']:.3f} "
+                        f"(n_trials {stats_how['n_trials']}, "
+                        f"{stats_how['n_groups']} recordings, "
+                        f"95% CI {stats_how.get('ci95')})")
+                encoder_eer["held_out_windows_stats"] = stats_how
+        if unseen_all - held:
+            stats_unw = eer_windows(unseen_all)
+            if stats_unw is not None:
+                msg += (f"\n  powered unseen-incl-val window EER "
+                        f"{stats_unw['eer']:.3f} "
+                        f"(n_trials {stats_unw['n_trials']}, "
+                        f"{stats_unw['n_groups']} recordings, "
+                        f"95% CI {stats_unw.get('ci95')})")
+                encoder_eer["unseen_incl_val_windows_stats"] = stats_unw
         print(msg, flush=True)
         emb_mode_iter = "pseudo"  # dict hits take precedence; no fallback used
 

@@ -61,6 +61,16 @@ def main():
                    help="shared corpus cache passed to demo_train "
                    "(pseudo-speaker wav generation runs once, not per fold)")
     p.add_argument("--timeout", type=int, default=7200, help="per fold, s")
+    p.add_argument("--resume", action="store_true",
+                   help="folds whose report.json already exists are folded "
+                   "into the summary without re-running (continue a campaign "
+                   "a previous session completed partially)")
+    p.add_argument("--commit", action="store_true",
+                   help="git add -f + commit each fold's report and the "
+                   "summary the moment they land — 'completed fold ⇒ "
+                   "durable committed artifact' holds by construction "
+                   "(logs/ is gitignored; two rounds lost campaign "
+                   "artifacts to exactly this)")
     args = p.parse_args()
 
     if args.val_k > args.holdout_k:
@@ -79,6 +89,13 @@ def main():
     for i in range(n):
         fold_ids = ids[i * k:(i + 1) * k]
         out_dir = os.path.join(args.out, f"fold{i}")
+        rp = os.path.join(out_dir, "report.json")
+        if args.resume and os.path.exists(rp):
+            print(f"fold {i}: report exists, --resume folds it in without "
+                  f"re-running ({rp})", flush=True)
+            reports.append(rp)
+            write_summary(reports, args, k)
+            continue
         cmd = [
             sys.executable, os.path.join(HERE, "demo_train.py"),
             "--steps", str(args.steps),
@@ -101,14 +118,23 @@ def main():
         r = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
         print(f"fold {i}: rc={r.returncode} in {time.time() - t0:.0f}s",
               flush=True)
-        rp = os.path.join(out_dir, "report.json")
         if r.returncode == 0 and os.path.exists(rp):
             reports.append(rp)
             # write the summary INCREMENTALLY: a campaign killed between
             # folds (session timeout, preemption) keeps every completed
             # fold's aggregate on disk — losing an entire campaign to a
             # missed final write is the round-4 failure mode this guards
-            write_summary(reports, args, k)
+            summary, out_json = write_summary(reports, args, k)
+            if args.commit:
+                with open(rp) as f:
+                    v = json.load(f).get("si_snri_at_best_val_db")
+                commit_artifacts(
+                    [rp, out_json],
+                    f"Open-set campaign {os.path.basename(args.out)}: "
+                    f"fold {i} report ({v:+.2f} dB at best-val, "
+                    f"{len(reports)}-fold mean "
+                    f"{summary['mean_si_snri_at_best_val_db']:+.2f})",
+                )
 
     if reports:
         subprocess.run(
@@ -118,6 +144,21 @@ def main():
         summary, out_json = write_summary(reports, args, k)
         print(f"\nsummary -> {out_json}")
         print(json.dumps({k: v for k, v in summary.items() if k != "folds"}))
+
+
+def commit_artifacts(paths, msg):
+    """Force-add (logs/ is gitignored) and commit campaign artifacts.
+
+    Failures are printed, not raised: a commit hiccup must not kill the
+    remaining folds — the artifacts stay on disk either way."""
+    # `git commit -- <paths>` scopes the commit to the artifacts even if
+    # a concurrent working session has other changes staged
+    for cmd in (["git", "add", "-f"] + list(paths),
+                ["git", "commit", "-m", msg, "--"] + list(paths)):
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"[commit_artifacts] {' '.join(cmd)} -> rc={r.returncode}\n"
+                  f"{r.stdout}{r.stderr}", flush=True)
 
 
 def write_summary(reports, args, k):
@@ -134,6 +175,10 @@ def write_summary(reports, args, k):
             "steps": rep.get("steps"),
             "si_snri_at_best_val_db": rep.get("si_snri_at_best_val_db"),
             "best_val_step": rep.get("best_val_step"),
+            # diagnostic-only held-out peak (RESULTS.md's campaign table
+            # quotes it, so the machine-readable summary must carry it)
+            "si_snri_heldout_peak_db": rep.get("si_snri_heldout_peak_db"),
+            "heldout_peak_step": rep.get("heldout_peak_step"),
             "si_snri_end_db": rep.get("si_snri_end_db"),
             "si_snri_start_db": rep.get("si_snri_start_db"),
             "config": rep.get("config"),

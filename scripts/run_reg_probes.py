@@ -12,16 +12,31 @@ docs/openset_r4_folds.json):
 - fold0+dense_enc: the campaign recipe WITHOUT --encoder_grid, i.e. the
                    encoder trains on the full dense pseudo-voice pool —
                    the attribution arm for the sparse-encoder-grid
-                   choice (an uncommitted r4 session observed the dense
-                   grid degrading fold 0's encoder held-out EER;
-                   committed evidence is r3's 0.022-sparse vs
-                   0.200-dense fold-0 A/B)
+                   choice.  NOTE on the evidence base: both committed
+                   fold-0 EER numbers are SPARSE-grid runs — r3 sparse
+                   gave 0.022 and r4 sparse gave 0.200, and those runs
+                   differ by more than the grid (speaker pool 14→12 via
+                   --val_k, GE2E steps 3000→2500).  The dense-grid-
+                   degrades-EER attribution comes only from an
+                   uncommitted r4 session and is motivation, not
+                   evidence; this probe is what measures it.
 
-Probes run fewer steps than the campaign (--steps, default 6000 to
-match it): the r3 overfit signature (held-out curve peaks early then
-regresses) shows well inside that horizon.
+Round-5 deconfounding arms (VERDICT r4 weak #3: fold 0 regressed
++0.10 → −0.51 and its encoder EER 0.022 → 0.200 under THREE
+simultaneous protocol changes vs r3 — val_k split 14→12 train
+speakers, GE2E steps 3000→2500, dense mask grid; each arm restores
+exactly one lever to its r3 value on the r4 recipe):
 
-Usage: python scripts/run_reg_probes.py [--steps 8000] [--only a,b,...]
+- fold0_ge2e3000:  --ge2e_steps 3000 (r3 value; campaign uses 2500)
+- fold0_seenval:   no --val_holdout_ids — checkpoint selection on
+                   train speakers with a disjoint mixing seed (the r3
+                   protocol), train pool back to 14 speakers
+
+Probes run the SAME 6000-step horizon as the campaign (--steps,
+default 6000): the r3 overfit signature (held-out curve peaks early
+then regresses) shows well inside that horizon.
+
+Usage: python scripts/run_reg_probes.py [--steps 6000] [--only a,b,...]
 """
 
 from __future__ import annotations
@@ -35,6 +50,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)  # `scripts.run_openset_folds` import below
 
 # fold splits mirror scripts/run_openset_folds.py with holdout_k=4,
 # val_k=2 over the 16 mixable ids (sorted order)
@@ -57,6 +73,13 @@ PROBES = {
     "fold1_specaug": FOLD1 | {"extra": ["--spec_augment", "24,40"]},
     # drop the sparse encoder grid -> encoder trains on the dense pool
     "fold0_dense_enc": FOLD0 | {"drop": ["--encoder_grid"], "extra": []},
+    # r3-value restorations, one lever each (deconfound the fold-0
+    # regression: which of the three r3->r4 protocol changes caused it?)
+    "fold0_ge2e3000": FOLD0 | {"drop": ["--ge2e_steps"],
+                               "extra": ["--ge2e_steps", "3000"]},
+    # no dev-speaker split: selection on train speakers w/ disjoint
+    # seed (r3 protocol), train pool back to 14 speakers
+    "fold0_seenval": FOLD0 | {"no_val": True, "extra": []},
 }
 
 
@@ -67,6 +90,12 @@ def main():
                    help="comma-separated probe names (default: all)")
     p.add_argument("--out", default="logs/reg_probes_r4")
     p.add_argument("--timeout", type=int, default=5400, help="per probe, s")
+    p.add_argument("--commit", action="store_true",
+                   help="git add -f + commit each probe's report and the "
+                   "summary as they land (campaign durability rule)")
+    p.add_argument("--resume", action="store_true",
+                   help="probes whose report.json already exists are folded "
+                   "into the summary without re-running")
     args = p.parse_args()
 
     names = list(PROBES)
@@ -78,9 +107,48 @@ def main():
         names = want
 
     results = {}
+    out_json = os.path.join(REPO, "docs", "reg_probes_r4.json")
+
+    def record(name, rp):
+        with open(rp) as f:
+            rep = json.load(f)
+        results[name] = {
+            k: rep.get(k)
+            for k in ("config", "steps", "si_snri_at_best_val_db",
+                      "best_val_step", "si_snri_heldout_peak_db",
+                      "heldout_peak_step", "si_snri_end_db")
+        }
+        ee = rep.get("encoder_eer") or {}
+        ho = ee.get("held_out_only_stats") or {}
+        if ho:
+            results[name]["encoder_heldout_eer"] = ho.get("eer")
+            results[name]["encoder_heldout_eer_ci95"] = ho.get("ci95")
+        how = ee.get("held_out_windows_stats") or {}
+        if how:
+            results[name]["encoder_heldout_window_eer"] = how.get("eer")
+            results[name]["encoder_heldout_window_eer_ci95"] = how.get("ci95")
+            results[name]["encoder_heldout_window_trials"] = how.get("n_trials")
+        # summary written INCREMENTALLY (campaign durability rule)
+        with open(out_json, "w") as f:
+            json.dump({"steps": args.steps, "probes": results}, f, indent=2)
+        if args.commit:
+            from scripts.run_openset_folds import commit_artifacts
+
+            v = results[name]["si_snri_at_best_val_db"]
+            commit_artifacts(
+                [rp, out_json],
+                f"Regularization/deconfound probe {name}: "
+                f"{v:+.2f} dB at best-val",
+            )
+
     for name in names:
         spec = PROBES[name]
         out_dir = os.path.join(args.out, name)
+        rp = os.path.join(out_dir, "report.json")
+        if args.resume and os.path.exists(rp):
+            print(f"{name}: report exists, --resume folds it in", flush=True)
+            record(name, rp)
+            continue
         base = list(BASE)
         for flag in spec.get("drop", ()):  # remove flag + its value
             i = base.index(flag)
@@ -89,33 +157,18 @@ def main():
             sys.executable, os.path.join(HERE, "demo_train.py"),
             "--steps", str(args.steps),
             "--holdout_ids", spec["holdout"],
-            "--val_holdout_ids", spec["val"],
             "--out", out_dir,
         ] + base + spec["extra"]
+        if not spec.get("no_val"):
+            cmd += ["--val_holdout_ids", spec["val"]]
         print(f"\n=== {name}: {' '.join(cmd)}", flush=True)
         t0 = time.time()
         r = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
         print(f"{name}: rc={r.returncode} in {time.time() - t0:.0f}s",
               flush=True)
-        rp = os.path.join(out_dir, "report.json")
         if r.returncode == 0 and os.path.exists(rp):
-            with open(rp) as f:
-                rep = json.load(f)
-            results[name] = {
-                k: rep.get(k)
-                for k in ("config", "steps", "si_snri_at_best_val_db",
-                          "best_val_step", "si_snri_heldout_peak_db",
-                          "heldout_peak_step", "si_snri_end_db")
-            }
-            ee = rep.get("encoder_eer") or {}
-            ho = ee.get("held_out_only_stats") or {}
-            if ho:
-                results[name]["encoder_heldout_eer"] = ho.get("eer")
-                results[name]["encoder_heldout_eer_ci95"] = ho.get("ci95")
+            record(name, rp)
 
-    out_json = os.path.join(REPO, "docs", "reg_probes_r4.json")
-    with open(out_json, "w") as f:
-        json.dump({"steps": args.steps, "probes": results}, f, indent=2)
     print(f"\nsummary -> {out_json}")
     print(json.dumps(results, indent=2))
 

@@ -61,6 +61,88 @@ def test_write_summary_incremental_mean(tmp_path, monkeypatch):
     assert [f["si_snri_at_best_val_db"] for f in on_disk["folds"]] == [1.0, -2.0]
 
 
+def test_write_summary_carries_heldout_peak(tmp_path, monkeypatch):
+    """RESULTS.md's campaign table quotes the held-out peak (step); the
+    machine-readable summary must be able to reproduce that column
+    (round-4 ADVICE low)."""
+    monkeypatch.setattr(rof, "REPO", str(tmp_path))
+    (tmp_path / "docs").mkdir()
+    args = argparse.Namespace(val_k=2, steps=6000, ge2e_steps=2500,
+                              extra="", out="logs/openset_test")
+    rp = tmp_path / "fold0.json"
+    rp.write_text(json.dumps({
+        "si_snri_at_best_val_db": -0.5, "best_val_step": 950,
+        "si_snri_heldout_peak_db": -0.27, "heldout_peak_step": 650,
+        "si_snri_end_db": -1.77, "si_snri_start_db": -3.0,
+    }))
+    s, _ = rof.write_summary([str(rp)], args, 4)
+    row = s["folds"][0]
+    assert row["si_snri_heldout_peak_db"] == -0.27
+    assert row["heldout_peak_step"] == 650
+
+
+def test_resume_folds_in_existing_reports_without_running(tmp_path, monkeypatch):
+    """--resume: folds with an existing report.json enter the summary
+    and NO subprocess runs for them — continuing a partially-complete
+    campaign re-runs only the missing folds."""
+    monkeypatch.setattr(rof, "REPO", str(tmp_path))
+    (tmp_path / "docs").mkdir()
+    monkeypatch.setattr(rof, "mixable_ids",
+                        lambda: [f"s{i}" for i in range(8)])
+    out = tmp_path / "camp"
+    for i in range(2):
+        d = out / f"fold{i}"
+        d.mkdir(parents=True)
+        (d / "report.json").write_text(json.dumps(
+            {"si_snri_at_best_val_db": float(-i)}))
+
+    ran = []
+    monkeypatch.setattr(
+        rof.subprocess, "run",
+        lambda cmd, **kw: ran.append(cmd) or argparse.Namespace(returncode=1))
+    monkeypatch.setattr(sys, "argv", [
+        "run_openset_folds.py", "--resume", "--folds", "4",
+        "--holdout_k", "2", "--out", str(out)])
+    rof.main()
+
+    # folds 0/1 resumed (no run), folds 2/3 attempted (rc=1 -> excluded)
+    demo_runs = [c for c in ran if any("demo_train" in str(a) for a in c)]
+    assert len(demo_runs) == 2
+    summary = json.load(open(
+        tmp_path / "docs" / f"{os.path.basename(str(out))}_folds.json"))
+    assert summary["n_folds"] == 2
+    assert summary["mean_si_snri_at_best_val_db"] == -0.5
+
+
+def test_commit_artifacts_force_adds_ignored_paths(tmp_path):
+    """commit_artifacts must land gitignored artifacts in a real commit
+    ('completed fold => durable committed artifact' by construction)."""
+    import subprocess as sp
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    sp.run(["git", "init", "-q"], cwd=repo, check=True)
+    sp.run(["git", "config", "user.email", "t@t"], cwd=repo, check=True)
+    sp.run(["git", "config", "user.name", "t"], cwd=repo, check=True)
+    (repo / ".gitignore").write_text("logs/\n")
+    (repo / "logs").mkdir()
+    art = repo / "logs" / "report.json"
+    art.write_text("{}")
+
+    orig_repo = rof.REPO
+    rof.REPO = str(repo)
+    try:
+        rof.commit_artifacts([str(art)], "fold 0 report")
+    finally:
+        rof.REPO = orig_repo
+    tracked = sp.run(["git", "ls-files"], cwd=repo, capture_output=True,
+                     text=True).stdout.split()
+    assert "logs/report.json" in tracked
+    log = sp.run(["git", "log", "--oneline"], cwd=repo, capture_output=True,
+                 text=True).stdout
+    assert "fold 0 report" in log
+
+
 def test_probe_base_matches_campaign_control():
     # every probe must inherit the committed campaign's control recipe
     assert "--encoder_grid" in rrp.BASE
@@ -87,3 +169,28 @@ def test_probe_specs_change_exactly_one_lever():
     assert rrp.PROBES["fold1_specaug"]["extra"] == ["--spec_augment", "24,40"]
     assert rrp.PROBES["fold0_dense_enc"]["extra"] == []
     assert rrp.PROBES["fold0_dense_enc"]["drop"] == ["--encoder_grid"]
+    # r5 deconfound arms: each restores exactly one r3 lever
+    assert rrp.PROBES["fold0_ge2e3000"]["drop"] == ["--ge2e_steps"]
+    assert rrp.PROBES["fold0_ge2e3000"]["extra"] == ["--ge2e_steps", "3000"]
+    assert rrp.PROBES["fold0_seenval"]["no_val"] is True
+    assert rrp.PROBES["fold0_seenval"]["extra"] == []
+
+
+def test_probe_no_val_spec_omits_val_holdout(tmp_path, monkeypatch):
+    """fold0_seenval must run demo_train WITHOUT --val_holdout_ids (the
+    r3 seen-speaker selection protocol); every other probe passes it."""
+    ran = []
+    monkeypatch.setattr(
+        rrp.subprocess, "run",
+        lambda cmd, **kw: ran.append(cmd) or argparse.Namespace(returncode=1))
+    monkeypatch.setattr(sys, "argv", [
+        "run_reg_probes.py", "--only", "fold0_seenval,fold0_ge2e3000",
+        "--out", str(tmp_path / "probes")])
+    rrp.main()
+    assert len(ran) == 2
+    seenval, ge2e = ran
+    assert "--val_holdout_ids" not in seenval
+    assert "--val_holdout_ids" in ge2e
+    i = ge2e.index("--ge2e_steps")
+    assert ge2e[i + 1] == "3000"
+    assert ge2e.count("--ge2e_steps") == 1

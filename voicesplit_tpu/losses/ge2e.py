@@ -90,7 +90,7 @@ def pairwise_eer(emb: "jnp.ndarray", speaker_ids) -> float:
 
 
 def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
-                       seed: int = 0) -> dict:
+                       seed: int = 0, groups=None) -> dict:
     """`pairwise_eer` plus the statistics an EER claim needs at small n.
 
     Returns ``{eer, n_utts, n_trials, n_target, n_nontarget,
@@ -102,6 +102,19 @@ def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
     On the demo corpus's ~4-held-out-speaker pools the trial counts are
     tiny (dozens of pairs), so an unqualified "EER 0.000" is not
     meaningful — report ``n_trials`` and ``ci95`` with it.
+
+    ``groups`` (optional, [K]) marks each row's dependence cluster —
+    e.g. the source-utterance path when the rows are SLIDING-WINDOW
+    d-vectors rather than whole-utterance means (the round-4 held-out
+    pools were ~55 trials, CI [0.00, 0.42] — unusable; windowing the
+    same material multiplies trials ~30×).  With groups set:
+
+    - trials score only CROSS-group pairs (two windows of one recording
+      share channel/content and would make inflated target trials);
+    - the bootstrap resamples GROUPS, not rows (cluster bootstrap —
+      windows of one recording rise and fall together, so resampling
+      windows independently would shrink the CI dishonestly);
+    - ``n_utts`` still counts rows; ``n_groups`` counts clusters.
     """
     import numpy as np
 
@@ -111,25 +124,54 @@ def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
     scores = e @ e.T
     iu = np.triu_indices(K, k=1)
     same_full = ids[iu[0]] == ids[iu[1]]
-    out = {
-        "eer": _eer_from_pairs(scores[iu], same_full),
-        "n_utts": int(K),
-        "n_trials": int(same_full.size),
-        "n_target": int(same_full.sum()),
-        "n_nontarget": int((~same_full).sum()),
-    }
     rng = np.random.default_rng(seed)
     boots = []
     attempts = 0
-    while len(boots) < n_boot and attempts < 4 * n_boot:
-        attempts += 1
-        idx = rng.integers(0, K, size=K)
-        sub = scores[np.ix_(idx, idx)]
-        bi = np.triu_indices(K, k=1)
-        same = ids[idx][bi[0]] == ids[idx][bi[1]]
-        v = _eer_from_pairs(sub[bi], same)
-        if v == v:  # not NaN (resample had both pair kinds)
-            boots.append(v)
+    if groups is None:
+        out = {
+            "eer": _eer_from_pairs(scores[iu], same_full),
+            "n_utts": int(K),
+            "n_trials": int(same_full.size),
+            "n_target": int(same_full.sum()),
+            "n_nontarget": int((~same_full).sum()),
+        }
+        while len(boots) < n_boot and attempts < 4 * n_boot:
+            attempts += 1
+            idx = rng.integers(0, K, size=K)
+            sub = scores[np.ix_(idx, idx)]
+            bi = np.triu_indices(K, k=1)
+            same = ids[idx][bi[0]] == ids[idx][bi[1]]
+            v = _eer_from_pairs(sub[bi], same)
+            if v == v:  # not NaN (resample had both pair kinds)
+                boots.append(v)
+    else:
+        _, grp = np.unique(np.asarray(groups), return_inverse=True)
+        cross = grp[iu[0]] != grp[iu[1]]
+        same_cross = same_full[cross]
+        out = {
+            "eer": _eer_from_pairs(scores[iu][cross], same_cross),
+            "n_utts": int(K),
+            "n_groups": int(grp.max() + 1),
+            "n_trials": int(same_cross.size),
+            "n_target": int(same_cross.sum()),
+            "n_nontarget": int((~same_cross).sum()),
+        }
+        members = [np.flatnonzero(grp == g) for g in range(int(grp.max()) + 1)]
+        G = len(members)
+        while len(boots) < n_boot and attempts < 4 * n_boot:
+            attempts += 1
+            draw = rng.integers(0, G, size=G)
+            idx = np.concatenate([members[d] for d in draw])
+            gs = grp[idx]  # underlying cluster id per resampled row
+            sub = scores[np.ix_(idx, idx)]
+            bi = np.triu_indices(len(idx), k=1)
+            # two copies of one drawn cluster must not pair either —
+            # exclusion is by underlying cluster id, not draw slot
+            keep = gs[bi[0]] != gs[bi[1]]
+            same = (ids[idx][bi[0]] == ids[idx][bi[1]])[keep]
+            v = _eer_from_pairs(sub[bi][keep], same)
+            if v == v:
+                boots.append(v)
     if boots:
         lo, hi = np.percentile(boots, [2.5, 97.5])
         out["ci95"] = [round(float(lo), 4), round(float(hi), 4)]

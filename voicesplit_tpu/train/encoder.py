@@ -167,14 +167,23 @@ def _embed_apply_fn(encoder):
     return _embed_apply_fn._cache(encoder)
 
 
-def embed_utterance(encoder, params, ap, wav, batch_windows: int = 32):
-    """Mean-pooled d-vector of one waveform (the encoder's own window/
-    stride semantics; fixed-shape compiled batches like the CLI)."""
+def embed_utterance_windows(encoder, params, ap, wav, batch_windows: int = 32,
+                            stride=None):
+    """Per-window d-vectors ``[n_win, D]`` of one waveform, each row
+    L2-normalized (the encoder's own window/stride semantics;
+    fixed-shape compiled batches like the CLI).
+
+    ``stride`` overrides the encoder's sliding stride — EER trial
+    generation passes ``stride=encoder.window`` so windows don't
+    overlap (overlapping windows of one recording are nearly
+    duplicated trials and would overstate the effective n even under a
+    per-recording cluster bootstrap)."""
     import jax.numpy as jnp
     import numpy as np
 
     mel = np.asarray(ap.get_mel_bucketed(wav), np.float32)
-    W, S = encoder.window, encoder.stride
+    W = encoder.window
+    S = encoder.stride if stride is None else int(stride)
     T = mel.shape[1]
     if T < W:
         mel = np.pad(mel, ((0, 0), (0, W - T)), mode="wrap")
@@ -192,5 +201,16 @@ def embed_utterance(encoder, params, ap, wav, batch_windows: int = 32):
                 [chunk, np.zeros((batch_windows - valid, *chunk.shape[1:]), np.float32)]
             )
         parts.append(np.asarray(apply_win(jnp.asarray(chunk)))[:valid])
-    emb = np.concatenate(parts).mean(axis=0)
+    embs = np.concatenate(parts)
+    norms = np.linalg.norm(embs, axis=-1, keepdims=True)
+    return (embs / (norms + 1e-8)).astype(np.float32)
+
+
+def embed_utterance(encoder, params, ap, wav, batch_windows: int = 32):
+    """Mean-pooled d-vector of one waveform (the encoder's own window/
+    stride semantics; fixed-shape compiled batches like the CLI)."""
+    import numpy as np
+
+    emb = embed_utterance_windows(encoder, params, ap, wav,
+                                  batch_windows=batch_windows).mean(axis=0)
     return (emb / (np.linalg.norm(emb) + 1e-8)).astype(np.float32)
