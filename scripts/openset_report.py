@@ -23,7 +23,12 @@ def main(paths):
         with open(p) as f:
             r = json.load(f)
         ee = r.get("encoder_eer") or {}
-        ho = ee.get("held_out_only_stats") or {}
+        # prefer the POWERED window-level stats (cross-recording trials,
+        # recording-cluster bootstrap) over the ~50-trial whole-
+        # utterance pools when a report carries them
+        ho = ee.get("held_out_windows_stats") or {}
+        if not ho:
+            ho = ee.get("held_out_only_stats") or {}
         if ho:
             # an EER is only quotable with its trial count + CI
             ci = ho.get("ci95")
