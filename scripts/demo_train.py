@@ -501,34 +501,43 @@ def main():
 
         # POWERED unseen-speaker EER (round-4 weak #4: the whole-
         # utterance pools give ~40-60 trials, CI [0.00, 0.42] — too
-        # underpowered to steer).  Score NON-OVERLAPPING encoder
-        # windows (0.8 s each) of every unseen utterance instead of
-        # one mean d-vector per utterance: same material, ~30× the
-        # trials.  Honesty guards: only cross-recording pairs count as
-        # trials, and the bootstrap CI clusters by source recording
-        # (windows of one recording are correlated) — see
-        # pairwise_eer_stats(groups=...).
+        # underpowered to steer, and their only target trials are the
+        # trivial x.wav-vs-x-norm.wav duplicate pairs).  Score
+        # NON-OVERLAPPING encoder windows (0.8 s each) instead of one
+        # mean d-vector per utterance: same material, ~30× the trials.
+        # Honesty guards: the -norm renormalization of a capture is
+        # DROPPED (aligned duplicate, not new evidence); time-disjoint
+        # windows of one recording DO form trials (most demo speakers
+        # have a single recording — a strict cross-session protocol
+        # has zero target trials here, and same-session enrollment is
+        # the condition the mixer actually runs under); the bootstrap
+        # CI clusters by source recording — see
+        # pairwise_eer_stats(groups=..., exclude_within_group=False).
         from voicesplit_tpu.train.encoder import embed_utterance_windows
 
         def eer_windows(which_ids):
             embs, spk_ids, grp = [], [], []
             for spk in sorted(which_ids):
-                for p in enroll[spk]:
+                # one variant per BASE recording: prefer x.wav, drop its
+                # x-norm.wav duplicate (same capture renormalized)
+                by_base = {}
+                for p in sorted(enroll[spk]):
+                    b = os.path.splitext(os.path.basename(p))[0]
+                    norm = b.endswith("-norm")
+                    if norm:
+                        b = b[: -len("-norm")]
+                    if b not in by_base or not norm:
+                        by_base[b] = p
+                for b, p in sorted(by_base.items()):
                     w = embed_utterance_windows(
                         enc, enc_params, ap, ap.load_wav(p), stride=enc.window)
                     embs.append(w)
                     spk_ids += [spk] * len(w)
-                    # cluster by BASE recording — x.wav and x-norm.wav
-                    # are the same capture (the mixer groups them too,
-                    # data/online.py), so they must share a cluster or
-                    # near-duplicate trials would pose as independent
-                    b = os.path.splitext(os.path.basename(p))[0]
-                    if b.endswith("-norm"):
-                        b = b[: -len("-norm")]
                     grp += [b] * len(w)
             if len(set(spk_ids)) < 2:
                 return None
-            return pairwise_eer_stats(_np.concatenate(embs), spk_ids, groups=grp)
+            return pairwise_eer_stats(_np.concatenate(embs), spk_ids,
+                                      groups=grp, exclude_within_group=False)
 
         if held:
             stats_how = eer_windows(held)

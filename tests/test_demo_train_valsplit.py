@@ -90,6 +90,32 @@ def test_pairwise_eer_stats_groups_counts_cross_recording_trials(rng):
     assert "ci95" in st and st["n_boot"] > 0
 
 
+def test_pairwise_eer_stats_within_group_trials(rng):
+    """exclude_within_group=False keeps time-disjoint windows of one
+    recording as target trials — the only target trials available when
+    every speaker has a single recording (the demo corpus case where
+    the strict protocol yields zero targets and a NaN EER)."""
+    # 3 speakers x 1 recording x 4 windows
+    ids = np.repeat(np.arange(3), 4)
+    grp = ids.copy()  # one recording per speaker
+    centers = rng.normal(size=(3, 8))
+    emb = centers[ids] + 0.1 * rng.normal(size=(12, 8))
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+
+    strict = pairwise_eer_stats(emb, ids, n_boot=50, seed=7, groups=grp)
+    assert strict["n_target"] == 0
+    assert strict["eer"] != strict["eer"]  # NaN: no target trials
+
+    lax = pairwise_eer_stats(emb, ids, n_boot=200, seed=7, groups=grp,
+                             exclude_within_group=False)
+    assert lax["within_group_trials"] is True
+    assert lax["n_trials"] == 12 * 11 // 2
+    assert lax["n_target"] == 3 * (4 * 3 // 2)
+    assert lax["n_target_cross_group"] == 0  # caveat is visible
+    assert lax["eer"] == lax["eer"]
+    assert "ci95" in lax and lax["n_boot"] > 0
+
+
 def test_pairwise_eer_stats_unique_groups_match_ungrouped(rng):
     """groups with one row each ≡ no groups for the point estimate and
     the trial counts (every pair is cross-group)."""

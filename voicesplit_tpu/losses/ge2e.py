@@ -90,7 +90,8 @@ def pairwise_eer(emb: "jnp.ndarray", speaker_ids) -> float:
 
 
 def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
-                       seed: int = 0, groups=None) -> dict:
+                       seed: int = 0, groups=None,
+                       exclude_within_group: bool = True) -> dict:
     """`pairwise_eer` plus the statistics an EER claim needs at small n.
 
     Returns ``{eer, n_utts, n_trials, n_target, n_nontarget,
@@ -104,17 +105,29 @@ def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
     meaningful — report ``n_trials`` and ``ci95`` with it.
 
     ``groups`` (optional, [K]) marks each row's dependence cluster —
-    e.g. the source-utterance path when the rows are SLIDING-WINDOW
+    e.g. the source-recording when the rows are SLIDING-WINDOW
     d-vectors rather than whole-utterance means (the round-4 held-out
     pools were ~55 trials, CI [0.00, 0.42] — unusable; windowing the
     same material multiplies trials ~30×).  With groups set:
 
-    - trials score only CROSS-group pairs (two windows of one recording
-      share channel/content and would make inflated target trials);
     - the bootstrap resamples GROUPS, not rows (cluster bootstrap —
       windows of one recording rise and fall together, so resampling
       windows independently would shrink the CI dishonestly);
+    - ``exclude_within_group`` controls whether two windows of one
+      recording may form a trial.  True drops them (strict cross-
+      session protocol).  False keeps them — REQUIRED on a corpus
+      whose speakers have a single recording each (this one: most
+      demo speakers), where a strict protocol has ZERO target trials
+      and the EER is NaN; time-disjoint windows of one recording
+      differ in content but share session/channel, so the resulting
+      EER is a SAME-SESSION verification number (the condition the
+      mixer's enrollment actually runs under) — the caveat travels in
+      ``within_group_trials`` and ``n_target_cross_group``;
     - ``n_utts`` still counts rows; ``n_groups`` counts clusters.
+
+    Callers must not feed duplicate captures of one signal as separate
+    groups (e.g. x.wav and its x-norm.wav renormalization) — dedupe to
+    one variant first, or aligned duplicates become fake target trials.
     """
     import numpy as np
 
@@ -146,15 +159,18 @@ def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
                 boots.append(v)
     else:
         _, grp = np.unique(np.asarray(groups), return_inverse=True)
-        cross = grp[iu[0]] != grp[iu[1]]
-        same_cross = same_full[cross]
+        within = grp[iu[0]] == grp[iu[1]]
+        keep0 = ~within if exclude_within_group else np.ones_like(within)
+        same_kept = same_full[keep0]
         out = {
-            "eer": _eer_from_pairs(scores[iu][cross], same_cross),
+            "eer": _eer_from_pairs(scores[iu][keep0], same_kept),
             "n_utts": int(K),
             "n_groups": int(grp.max() + 1),
-            "n_trials": int(same_cross.size),
-            "n_target": int(same_cross.sum()),
-            "n_nontarget": int((~same_cross).sum()),
+            "n_trials": int(same_kept.size),
+            "n_target": int(same_kept.sum()),
+            "n_nontarget": int((~same_kept).sum()),
+            "n_target_cross_group": int((same_full & ~within).sum()),
+            "within_group_trials": not exclude_within_group,
         }
         members = [np.flatnonzero(grp == g) for g in range(int(grp.max()) + 1)]
         G = len(members)
@@ -165,9 +181,14 @@ def pairwise_eer_stats(emb: "jnp.ndarray", speaker_ids, n_boot: int = 1000,
             gs = grp[idx]  # underlying cluster id per resampled row
             sub = scores[np.ix_(idx, idx)]
             bi = np.triu_indices(len(idx), k=1)
-            # two copies of one drawn cluster must not pair either —
-            # exclusion is by underlying cluster id, not draw slot
-            keep = gs[bi[0]] != gs[bi[1]]
+            if exclude_within_group:
+                # two copies of one drawn cluster must not pair either —
+                # exclusion is by underlying cluster id, not draw slot
+                keep = gs[bi[0]] != gs[bi[1]]
+            else:
+                # within-cluster pairs are trials, but a row must never
+                # score against its own duplicate from a repeated draw
+                keep = idx[bi[0]] != idx[bi[1]]
             same = (ids[idx][bi[0]] == ids[idx][bi[1]])[keep]
             v = _eer_from_pairs(sub[bi][keep], same)
             if v == v:
