@@ -228,6 +228,10 @@ def main():
                          "still multiplies the clean mixture spec")
     ap_args.add_argument("--eval_batches", type=int, default=4,
                          help="held-out eval batches (B each) averaged per point")
+    ap_args.add_argument("--eval_every", type=int, default=50,
+                         help="steps between val/held-out curve points "
+                         "(long runs: every-50 evals dominate wall time; "
+                         "checkpoint selection resolution follows this)")
     ap_args.add_argument("--warm_start", type=str, default=None,
                          help="BiLSTM checkpoint to convert+seed a --causal run "
                          "(train/checkpoint.py::bilstm_to_streaming_sd)")
@@ -649,7 +653,7 @@ def main():
     for step in range(1, args.steps + 1):
         batch = next(prefetch)
         state, metrics = train_step(state, batch)
-        if step % 50 == 0 or step == args.steps:
+        if step % args.eval_every == 0 or step == args.steps:
             m = jax.device_get(metrics)
             loss, gn = float(m["loss"]), float(m["grad_norm"])
             snri = si_snri(state.params, state.batch_stats)
