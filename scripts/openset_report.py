@@ -27,7 +27,7 @@ def main(paths):
         # recording-cluster bootstrap) over the ~50-trial whole-
         # utterance pools when a report carries them
         ho = ee.get("held_out_windows_stats") or {}
-        if not ho:
+        if not ho or ho.get("eer") != ho.get("eer"):  # absent or NaN
             ho = ee.get("held_out_only_stats") or {}
         if ho:
             # an EER is only quotable with its trial count + CI
