@@ -226,6 +226,13 @@ def main():
                          "SpecAugment-style masking of the mask net's input "
                          "spec, train only (e.g. '24,40'); the estimate "
                          "still multiplies the clean mixture spec")
+    ap_args.add_argument("--lstm_dim", type=int, default=None,
+                         help="LSTM hidden width override (reference: 400) — "
+                         "the capacity lever: the BiLSTM holds 17.5M of the "
+                         "19M params, and the open-set corpus has ~14 train "
+                         "voices, so shrinking it attacks the measured "
+                         "mask-net overfit from the model side rather than "
+                         "the data side")
     ap_args.add_argument("--eval_batches", type=int, default=4,
                          help="held-out eval batches (B each) averaged per point")
     ap_args.add_argument("--eval_every", type=int, default=50,
@@ -352,6 +359,8 @@ def main():
     c.model.causal = args.causal
     if args.dropout:
         c.model.dropout = args.dropout
+    if args.lstm_dim is not None:
+        c.model.lstm_dim = args.lstm_dim
     if args.weight_decay:
         c.train_config.weight_decay = args.weight_decay
     if args.spec_augment:
@@ -690,6 +699,7 @@ def main():
            if args.val_holdout_ids else "")
         + (f" +emb_noise{args.emb_noise}" if args.emb_noise else "")
         + (f" +dropout{args.dropout}" if args.dropout else "")
+        + (f" +lstm{args.lstm_dim}" if args.lstm_dim is not None else "")
         + (f" +wd{args.weight_decay}" if args.weight_decay else "")
         + (f" +specaug[{args.spec_augment}]" if args.spec_augment else "")
         + (" +allow_short" if args.allow_short else "")

@@ -382,3 +382,44 @@ def test_valsplit_end_to_end_tiny(monkeypatch, tmp_path):
     assert ee["unseen_incl_val_stats"]["n_utts"] > ee["held_out_only_stats"]["n_utts"]
     assert rep["best_val_step"] in (1, 2)
     assert np.isfinite(rep["si_snri_at_best_val_db"])
+
+
+@needs_demo_audio
+def test_lstm_dim_capacity_lever(monkeypatch, tmp_path):
+    """`--lstm_dim` shrinks the BiLSTM the model is actually built with
+    (the capacity lever against the measured mask-net overfit) and is
+    recorded in the report's config label for campaign tables."""
+    import voicesplit_tpu.config as vcfg
+    import voicesplit_tpu.models.masknet as mn
+
+    _make_subcorpus(monkeypatch, tmp_path)
+
+    real_config = vcfg.Config
+
+    def tiny_config():
+        c = real_config()
+        c.model.conv_channels = 4
+        c.model.conv_out_channels = 2
+        # emb_dim stays 256: pseudo-mode d-vectors are 256-d
+        return c
+
+    monkeypatch.setattr(vcfg, "Config", tiny_config)
+
+    seen = []
+    real_make = mn.make_masknet
+
+    def recording_make(c, **kw):
+        seen.append(c.model.lstm_dim)
+        return real_make(c, **kw)
+
+    monkeypatch.setattr(mn, "make_masknet", recording_make)
+
+    out = tmp_path / "run"
+    _demo_main([
+        "--steps", "2", "--batch_size", "2", "--eval_batches", "1",
+        "--lstm_dim", "8", "--out", str(out),
+    ], monkeypatch)
+
+    assert seen == [8]
+    rep = json.load(open(out / "report.json"))
+    assert "+lstm8" in rep["config"]
