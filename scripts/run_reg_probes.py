@@ -80,6 +80,12 @@ PROBES = {
     # no dev-speaker split: selection on train speakers w/ disjoint
     # seed (r3 protocol), train pool back to 14 speakers
     "fold0_seenval": FOLD0 | {"no_val": True, "extra": []},
+    # capacity lever (round-5): the BiLSTM is 17.5M of 19M params vs a
+    # ~14-voice corpus; 400->100 hidden (18.9M -> 5.2M params) attacks
+    # the same overfit from the model side.  Fold 1 because its overfit
+    # signature is the most extreme in the campaign (held-out peak at
+    # step 150) and it pairs with the dropout/specaug fold-1 arms.
+    "fold1_lstm100": FOLD1 | {"extra": ["--lstm_dim", "100"]},
 }
 
 

@@ -174,6 +174,9 @@ def test_probe_specs_change_exactly_one_lever():
     assert rrp.PROBES["fold0_ge2e3000"]["extra"] == ["--ge2e_steps", "3000"]
     assert rrp.PROBES["fold0_seenval"]["no_val"] is True
     assert rrp.PROBES["fold0_seenval"]["extra"] == []
+    # r5 capacity arm: one lever, the BiLSTM width
+    assert rrp.PROBES["fold1_lstm100"]["extra"] == ["--lstm_dim", "100"]
+    assert "drop" not in rrp.PROBES["fold1_lstm100"]
 
 
 def test_probe_no_val_spec_omits_val_holdout(tmp_path, monkeypatch):
