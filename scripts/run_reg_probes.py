@@ -112,8 +112,13 @@ def main():
             raise SystemExit(f"unknown probes {bad} (available: {names})")
         names = want
 
-    results = {}
+    # start from any summary already on disk so a partial `--only`
+    # invocation extends the committed record instead of clobbering it
     out_json = os.path.join(REPO, "docs", "reg_probes_r4.json")
+    results = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            results = json.load(f).get("probes", {})
 
     def record(name, rp):
         with open(rp) as f:

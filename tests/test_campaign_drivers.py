@@ -197,3 +197,35 @@ def test_probe_no_val_spec_omits_val_holdout(tmp_path, monkeypatch):
     i = ge2e.index("--ge2e_steps")
     assert ge2e[i + 1] == "3000"
     assert ge2e.count("--ge2e_steps") == 1
+
+
+def test_probe_summary_merges_existing_record(tmp_path, monkeypatch):
+    """A partial `--only` invocation must EXTEND docs/reg_probes_r4.json,
+    not clobber the probes an earlier driver run already recorded."""
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    prior = {"steps": 6000,
+             "probes": {"fold1_dropout": {"si_snri_at_best_val_db": -1.0}}}
+    (docs / "reg_probes_r4.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(rrp, "REPO", str(tmp_path))
+
+    def fake_run(cmd, **kw):
+        out_dir = cmd[cmd.index("--out") + 1]
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump({"config": "probe", "steps": 6000,
+                       "si_snri_at_best_val_db": 0.5, "best_val_step": 100,
+                       "si_snri_heldout_peak_db": 0.7,
+                       "heldout_peak_step": 90, "si_snri_end_db": 0.1}, f)
+        return argparse.Namespace(returncode=0)
+
+    monkeypatch.setattr(rrp.subprocess, "run", fake_run)
+    monkeypatch.setattr(sys, "argv", [
+        "run_reg_probes.py", "--only", "fold1_lstm100",
+        "--out", str(tmp_path / "probes")])
+    rrp.main()
+
+    merged = json.loads((docs / "reg_probes_r4.json").read_text())
+    assert set(merged["probes"]) == {"fold1_dropout", "fold1_lstm100"}
+    assert merged["probes"]["fold1_dropout"]["si_snri_at_best_val_db"] == -1.0
+    assert merged["probes"]["fold1_lstm100"]["si_snri_at_best_val_db"] == 0.5
