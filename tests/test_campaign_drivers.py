@@ -14,6 +14,8 @@ import json
 import os
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -229,3 +231,57 @@ def test_probe_summary_merges_existing_record(tmp_path, monkeypatch):
     assert set(merged["probes"]) == {"fold1_dropout", "fold1_lstm100"}
     assert merged["probes"]["fold1_dropout"]["si_snri_at_best_val_db"] == -1.0
     assert merged["probes"]["fold1_lstm100"]["si_snri_at_best_val_db"] == 0.5
+
+
+# ---------------------------------------------------------------- run_long
+
+
+def test_run_long_inherits_control_and_commits_summary(tmp_path, monkeypatch):
+    import scripts.run_long as rl
+
+    ran = []
+
+    def fake_run(cmd, **kw):
+        ran.append(cmd)
+        out_dir = os.path.join(str(tmp_path), cmd[cmd.index("--out") + 1])
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump({"config": "long", "steps": 20000,
+                       "si_snri_at_best_val_db": 0.8, "best_val_step": 9000,
+                       "si_snri_heldout_peak_db": 1.0,
+                       "heldout_peak_step": 8000, "si_snri_end_db": 0.6,
+                       "si_snri_start_db": -2.0}, f)
+        return argparse.Namespace(returncode=0)
+
+    (tmp_path / "docs").mkdir()
+    monkeypatch.setattr(rl, "REPO", str(tmp_path))
+    monkeypatch.setattr(rl.subprocess, "run", fake_run)
+    monkeypatch.setattr(sys, "argv", [
+        "run_long.py", "--fold", "1", "--steps", "20000",
+        "--dropout", "0.3"])
+    rl.main()
+
+    (cmd,) = ran
+    # control recipe inherited verbatim from the probe BASE
+    for flag in ("--encoder_grid", "--corpus_dir", "--augment"):
+        assert flag in cmd
+    assert cmd[cmd.index("--holdout_ids") + 1] == rrp.FOLD1["holdout"]
+    assert cmd[cmd.index("--val_holdout_ids") + 1] == rrp.FOLD1["val"]
+    assert cmd[cmd.index("--eval_every") + 1] == "100"
+    assert cmd[cmd.index("--dropout") + 1] == "0.3"
+
+    summary = json.loads((tmp_path / "docs" / "long_r5.json").read_text())
+    assert summary["fold1"]["si_snri_at_best_val_db"] == 0.8
+    assert summary["fold1"]["levers"] == ["--dropout", "0.3"]
+
+
+def test_run_long_fails_loud_on_bad_rc(tmp_path, monkeypatch):
+    import scripts.run_long as rl
+
+    monkeypatch.setattr(rl, "REPO", str(tmp_path))
+    monkeypatch.setattr(
+        rl.subprocess, "run",
+        lambda cmd, **kw: argparse.Namespace(returncode=3))
+    monkeypatch.setattr(sys, "argv", ["run_long.py", "--fold", "0"])
+    with pytest.raises(SystemExit):
+        rl.main()
