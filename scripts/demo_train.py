@@ -226,6 +226,12 @@ def main():
                          "SpecAugment-style masking of the mask net's input "
                          "spec, train only (e.g. '24,40'); the estimate "
                          "still multiplies the clean mixture spec")
+    ap_args.add_argument("--ema", type=float, default=0.0,
+                         help="EMA decay for Polyak-averaged eval weights "
+                         "(e.g. 0.99 ≈ 100-step window); 0 disables. "
+                         "Validation selection and the held-out curve use "
+                         "the averaged params — the cheap trajectory-side "
+                         "lever against the peak-then-regress overfit")
     ap_args.add_argument("--lstm_dim", type=int, default=None,
                          help="LSTM hidden width override (reference: 400) — "
                          "the capacity lever: the BiLSTM holds 17.5M of the "
@@ -659,14 +665,25 @@ def main():
     best = {"val_si_snri_db": -np.inf}
     t0 = time.time()
     prefetch = DevicePrefetcher(train_it, depth=3)
+    ema_params = None
+    if args.ema:
+        from voicesplit_tpu.train import make_ema_update
+
+        ema_update = make_ema_update(args.ema)
+        # deep copy: train_step donates state buffers, so aliasing
+        # state.params here would hand the EMA deleted arrays on step 1
+        ema_params = jax.tree.map(jnp.copy, state.params)
     for step in range(1, args.steps + 1):
         batch = next(prefetch)
         state, metrics = train_step(state, batch)
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, state.params)
         if step % args.eval_every == 0 or step == args.steps:
             m = jax.device_get(metrics)
             loss, gn = float(m["loss"]), float(m["grad_norm"])
-            snri = si_snri(state.params, state.batch_stats)
-            val = si_snri_on(val_batches, state.params, state.batch_stats)
+            eval_params = ema_params if ema_params is not None else state.params
+            snri = si_snri(eval_params, state.batch_stats)
+            val = si_snri_on(val_batches, eval_params, state.batch_stats)
             point = {"step": step, "loss": loss, "si_snri_db": snri,
                      "val_si_snri_db": val, "grad_norm": gn}
             curve.append(point)
@@ -680,6 +697,10 @@ def main():
     if args.save_checkpoint:
         from voicesplit_tpu.train.checkpoint import save_checkpoint
 
+        if ema_params is not None:
+            # the curve/selection was computed on the averaged weights;
+            # the checkpoint must hold what was evaluated
+            state = state.replace(params=ema_params)
         ckpt_path = save_checkpoint(args.out, state, c)
         print(f"checkpoint → {ckpt_path}", flush=True)
         if embeddings:
@@ -700,6 +721,7 @@ def main():
         + (f" +emb_noise{args.emb_noise}" if args.emb_noise else "")
         + (f" +dropout{args.dropout}" if args.dropout else "")
         + (f" +lstm{args.lstm_dim}" if args.lstm_dim is not None else "")
+        + (f" +ema{args.ema}" if args.ema else "")
         + (f" +wd{args.weight_decay}" if args.weight_decay else "")
         + (f" +specaug[{args.spec_augment}]" if args.spec_augment else "")
         + (" +allow_short" if args.allow_short else "")

@@ -423,3 +423,50 @@ def test_lstm_dim_capacity_lever(monkeypatch, tmp_path):
     assert seen == [8]
     rep = json.load(open(out / "report.json"))
     assert "+lstm8" in rep["config"]
+
+
+@needs_demo_audio
+def test_ema_lever_wires_averaged_eval(monkeypatch, tmp_path):
+    """`--ema d` must drive one EMA update per train step and put the
+    averaged params into every eval; label lands in report config."""
+    import voicesplit_tpu.config as vcfg
+    import voicesplit_tpu.train as vtrain
+
+    _make_subcorpus(monkeypatch, tmp_path)
+
+    real_config = vcfg.Config
+
+    def tiny_config():
+        c = real_config()
+        c.model.lstm_dim = 16
+        c.model.conv_channels = 4
+        c.model.conv_out_channels = 2
+        return c
+
+    monkeypatch.setattr(vcfg, "Config", tiny_config)
+
+    calls = {"updates": 0}
+    real_factory = vtrain.make_ema_update
+
+    def counting_factory(decay):
+        assert decay == 0.95
+        real_upd = real_factory(decay)
+
+        def upd(ema, params):
+            calls["updates"] += 1
+            return real_upd(ema, params)
+
+        return upd
+
+    monkeypatch.setattr(vtrain, "make_ema_update", counting_factory)
+
+    out = tmp_path / "run"
+    _demo_main([
+        "--steps", "3", "--batch_size", "2", "--eval_batches", "1",
+        "--ema", "0.95", "--out", str(out),
+    ], monkeypatch)
+
+    assert calls["updates"] == 3
+    rep = json.load(open(out / "report.json"))
+    assert "+ema0.95" in rep["config"]
+    assert np.isfinite(rep["si_snri_at_best_val_db"])

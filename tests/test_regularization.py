@@ -203,3 +203,31 @@ def test_weight_decay_shrinks_kernels_vs_adam():
         return float(jnp.linalg.norm(state.params["fc1"]["kernel"]))
 
     assert norms_after(c_wd) < norms_after(c_ad)
+
+
+# ------------------------------------------------------------------- EMA
+
+
+def test_ema_update_math_and_identity():
+    from voicesplit_tpu.train import make_ema_update
+
+    upd = make_ema_update(0.9)
+    ema = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    params = {"w": jnp.full((3,), 2.0), "b": jnp.full((2,), 10.0)}
+    out = upd(ema, params)
+    np.testing.assert_allclose(out["w"], 0.9 * 1.0 + 0.1 * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(out["b"], 0.1 * 10.0, rtol=1e-6)
+    # fixed point: averaging a constant trajectory is the identity
+    same = upd(params, params)
+    np.testing.assert_allclose(same["w"], params["w"], rtol=1e-7)
+
+
+def test_ema_converges_to_constant_params():
+    from voicesplit_tpu.train import make_ema_update
+
+    upd = make_ema_update(0.5)
+    ema = {"w": jnp.zeros(())}
+    params = {"w": jnp.asarray(8.0)}
+    for _ in range(20):
+        ema = upd(ema, params)
+    np.testing.assert_allclose(float(ema["w"]), 8.0, atol=1e-4)
