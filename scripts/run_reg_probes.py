@@ -86,6 +86,10 @@ PROBES = {
     # signature is the most extreme in the campaign (held-out peak at
     # step 150) and it pairs with the dropout/specaug fold-1 arms.
     "fold1_lstm100": FOLD1 | {"extra": ["--lstm_dim", "100"]},
+    # trajectory lever (round-5): Polyak-averaged eval/selection weights
+    # (~100-step window) — smooths the peak-then-regress trajectory
+    # without touching data or capacity.
+    "fold1_ema": FOLD1 | {"extra": ["--ema", "0.99"]},
 }
 
 

@@ -179,6 +179,7 @@ def test_probe_specs_change_exactly_one_lever():
     # r5 capacity arm: one lever, the BiLSTM width
     assert rrp.PROBES["fold1_lstm100"]["extra"] == ["--lstm_dim", "100"]
     assert "drop" not in rrp.PROBES["fold1_lstm100"]
+    assert rrp.PROBES["fold1_ema"]["extra"] == ["--ema", "0.99"]
 
 
 def test_probe_no_val_spec_omits_val_holdout(tmp_path, monkeypatch):
