@@ -663,6 +663,7 @@ def main():
 
     curve = []
     best = {"val_si_snri_db": -np.inf}
+    best_snapshot = None  # (step, params, batch_stats) at best-val
     t0 = time.time()
     prefetch = DevicePrefetcher(train_it, depth=3)
     ema_params = None
@@ -689,6 +690,15 @@ def main():
             curve.append(point)
             if val > best["val_si_snri_db"]:
                 best = point
+                if args.save_checkpoint:
+                    # device-side copies (cheap): the final state under
+                    # the measured overfit is the WORST artifact; keep
+                    # what validation actually selected
+                    best_snapshot = (
+                        step,
+                        jax.tree.map(jnp.copy, eval_params),
+                        jax.tree.map(jnp.copy, state.batch_stats),
+                    )
             print(f"step {step}: loss {loss:+.3f}  grad_norm {gn:8.2f}  "
                   f"val SI-SNRi {val:+.3f}  held-out SI-SNRi {snri:+.3f} dB",
                   flush=True)
@@ -703,6 +713,19 @@ def main():
             state = state.replace(params=ema_params)
         ckpt_path = save_checkpoint(args.out, state, c)
         print(f"checkpoint → {ckpt_path}", flush=True)
+        if best_snapshot is not None and best_snapshot[0] != int(
+            jax.device_get(state.step)
+        ):
+            b_step, b_params, b_bstats = best_snapshot
+            # NB: carries the FINAL optimizer state (eval/deploy
+            # artifact, not a resume point for exact reproduction)
+            best_state = state.replace(
+                params=b_params, batch_stats=b_bstats,
+                step=jnp.asarray(b_step, dtype=jnp.int32),
+            )
+            best_path = save_checkpoint(args.out, best_state, c)
+            print(f"best-val checkpoint (step {b_step}) → {best_path}",
+                  flush=True)
         if embeddings:
             emb_path = os.path.join(args.out, "embeddings.npz")
             np.savez(emb_path, **embeddings)

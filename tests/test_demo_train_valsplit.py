@@ -470,3 +470,42 @@ def test_ema_lever_wires_averaged_eval(monkeypatch, tmp_path):
     rep = json.load(open(out / "report.json"))
     assert "+ema0.95" in rep["config"]
     assert np.isfinite(rep["si_snri_at_best_val_db"])
+
+
+@needs_demo_audio
+def test_save_checkpoint_keeps_best_val_artifact(monkeypatch, tmp_path):
+    """--save_checkpoint must also write the best-val snapshot whenever
+    selection picked an earlier step than the final one (under the
+    measured overfit the final state is the worst artifact)."""
+    import voicesplit_tpu.config as vcfg
+
+    _make_subcorpus(monkeypatch, tmp_path)
+
+    real_config = vcfg.Config
+
+    def tiny_config():
+        c = real_config()
+        c.model.lstm_dim = 16
+        c.model.conv_channels = 4
+        c.model.conv_out_channels = 2
+        return c
+
+    monkeypatch.setattr(vcfg, "Config", tiny_config)
+
+    out = tmp_path / "run"
+    _demo_main([
+        "--steps", "4", "--batch_size", "2", "--eval_batches", "1",
+        "--eval_every", "1", "--save_checkpoint", "--out", str(out),
+    ], monkeypatch)
+
+    rep = json.load(open(out / "report.json"))
+    final = out / "checkpoint_4.msgpack"
+    assert final.exists()
+    best_step = rep["best_val_step"]
+    best = out / f"checkpoint_{best_step}.msgpack"
+    assert best.exists(), (best_step, sorted(os.listdir(out)))
+    if best_step != 4:
+        from voicesplit_tpu.train.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(str(best))
+        assert ck["step"] == best_step
