@@ -286,3 +286,19 @@ def test_run_long_fails_loud_on_bad_rc(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["run_long.py", "--fold", "0"])
     with pytest.raises(SystemExit):
         rl.main()
+
+
+def test_probe_table_rows_delta_vs_fold_control():
+    import scripts.probe_table as pt
+
+    assert pt.fold_of("fold1_dropout") == 1
+    assert pt.fold_of("fold0_dense_enc") == 0
+    probes = {"fold1_x": {
+        "si_snri_at_best_val_db": -2.5, "best_val_step": 100,
+        "si_snri_heldout_peak_db": -1.0, "heldout_peak_step": 50,
+        "si_snri_end_db": -2.0}}
+    controls = {1: {"si_snri_at_best_val_db": -3.5}}
+    (row,) = pt.rows(probes, controls)
+    assert row["fold"] == 1
+    assert row["delta_vs_control_db"] == pytest.approx(1.0)
+    assert row["enc_window_eer"] is None
