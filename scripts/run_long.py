@@ -33,7 +33,14 @@ sys.path.insert(0, REPO)
 from scripts.run_reg_probes import BASE, FOLD0, FOLD1  # noqa: E402
 from scripts.run_openset_folds import commit_artifacts  # noqa: E402
 
-FOLDS = {0: FOLD0, 1: FOLD1}
+# fold 2/3 splits mirror the committed campaign record
+# (docs/openset_r4_folds.json / logs/openset_r4/campaign.log)
+FOLDS = {
+    0: FOLD0,
+    1: FOLD1,
+    2: dict(holdout="3576,4153,4831,5849", val="6241,6267"),
+    3: dict(holdout="6241,6267,6841,84", val="1585,1701"),
+}
 
 
 def main():

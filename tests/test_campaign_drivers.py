@@ -302,3 +302,20 @@ def test_probe_table_rows_delta_vs_fold_control():
     assert row["fold"] == 1
     assert row["delta_vs_control_db"] == pytest.approx(1.0)
     assert row["enc_window_eer"] is None
+
+
+def test_run_long_fold_splits_match_campaign_record():
+    import scripts.run_long as rl
+
+    assert rl.FOLDS[0] == rrp.FOLD0
+    assert rl.FOLDS[1] == rrp.FOLD1
+    # folds 2/3 pinned to the committed campaign invocations
+    # (logs/openset_r4/campaign.log)
+    assert rl.FOLDS[2] == {"holdout": "3576,4153,4831,5849",
+                           "val": "6241,6267"}
+    assert rl.FOLDS[3] == {"holdout": "6241,6267,6841,84",
+                           "val": "1585,1701"}
+    # holdout and val never overlap within a fold
+    for spec in rl.FOLDS.values():
+        assert not (set(spec["holdout"].split(","))
+                    & set(spec["val"].split(",")))
